@@ -1,0 +1,107 @@
+"""Session API tests — the reference's WASM interface semantics
+(``src/wasm_interface.rs``) exercised through the Python mirror."""
+
+import numpy as np
+import pytest
+
+from wasm_pathtracer_tpu.config import RenderSettings, RenderType
+from wasm_pathtracer_tpu.runtime.session import Session
+from wasm_pathtracer_tpu.runtime import checkpoint
+
+
+def _small_session(**kw):
+    fast = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+                          ray_batch_size=2048)
+    kw.setdefault("left", fast)
+    kw.setdefault("right", fast)
+    return Session(64, 64, scene_id=100, **kw)
+
+
+def test_compute_accumulates_samples():
+    s = _small_session()
+    s.compute(4096)
+    counts = np.asarray(s.buffer.count)
+    assert counts.sum() >= 4096
+    img = s.results()
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert img.max() > 0
+
+
+def test_left_right_halves_receive_samples():
+    s = _small_session()
+    s.compute(8192)
+    counts = np.asarray(s.buffer.count)
+    assert counts[:, :32].sum() > 0, "left half unsampled"
+    assert counts[:, 32:].sum() > 0, "right half unsampled"
+
+
+def test_update_camera_resets_accumulation():
+    s = _small_session()
+    s.compute(2048)
+    assert np.asarray(s.buffer.count).sum() > 0
+    s.update_camera((0.0, 2.0, -3.0), 0.3, 0.0)
+    assert np.asarray(s.buffer.count).sum() == 0
+
+
+def test_update_scene_switches_and_resets():
+    s = _small_session()
+    s.compute(2048)
+    s.update_scene(0)
+    assert s.scene.num_shapes == 146
+    assert np.asarray(s.buffer.count).sum() == 0
+
+
+def test_update_viewport_resizes():
+    s = _small_session()
+    s.update_viewport(96, 80)
+    s.compute(2048)
+    assert s.results().shape == (80, 96, 3)
+
+
+def test_store_mesh_triggers_rebuild_for_active_scene():
+    s = _small_session()
+    s.update_scene(2)          # bunny scene uses mesh 1
+    base_shapes = s.scene.num_shapes
+    tris = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    rebuilt = s.store_mesh(1, tris)
+    assert rebuilt
+    assert s.scene.num_shapes == base_shapes + 1
+
+
+def test_store_mesh_inactive_scene_no_rebuild():
+    s = _small_session()       # scene 100
+    tris = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    assert not s.store_mesh(1, tris)
+
+
+def test_invalid_scene_raises():
+    s = _small_session()
+    with pytest.raises(ValueError):
+        s.update_scene(42)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    s = _small_session()
+    s.compute(2048)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, s)
+
+    s2 = _small_session()
+    checkpoint.load(path, s2)
+    assert np.array_equal(np.asarray(s2.buffer.acc), np.asarray(s.buffer.acc))
+    assert np.array_equal(np.asarray(s2.buffer.count),
+                          np.asarray(s.buffer.count))
+    # resumed session continues accumulating
+    s2.compute(2048)
+    assert np.asarray(s2.buffer.count).sum() > np.asarray(s.buffer.count).sum()
+
+
+def test_sampling_density_view():
+    ad = RenderSettings(render_type=RenderType.NORMAL_NEE, adaptive=True,
+                        max_bounces=4, ray_batch_size=2048,
+                        adaptive_bootstrap_spp=1)
+    s = Session(64, 64, scene_id=100, left=ad, right=ad)
+    s.compute(2048 * 10)
+    img = s.results(show_sampling=True)
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 0

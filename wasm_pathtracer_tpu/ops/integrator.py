@@ -1,0 +1,308 @@
+"""The wavefront path-tracing integrator.
+
+Re-design of ``RenderInstance::trace_original_color``
+(``src/tracer.rs:224-330``).  The reference traces one ray at a time
+through an unbounded ``loop`` with early returns; here an entire ray
+batch advances bounce-by-bounce under ``lax.scan`` with a static trip
+count and an ``alive`` mask — the TPU has no divergence, so terminated
+lanes simply stop contributing.
+
+The estimator math is identical (each step cites its source):
+  - emissive hits add ``throughput * intensity`` only when NEE is off or
+    no diffuse bounce happened yet (``tracer.rs:244-254``);
+  - cosine-weighted hemisphere sampling with pdf cos/pi
+    (``material.rs:97-118``) and brdf albedo/pi (``material.rs:120-126``);
+  - area-light NEE with the solid-angle estimator
+    ``area * cos_o / d^2 * cos_i / light_chance`` (``tracer.rs:285-311``);
+  - Russian roulette on clamped max throughput (``tracer.rs:317-324``);
+  - miss adds ``throughput * background`` (``tracer.rs:325-328``).
+
+Extended materials (REFLECT / REFRACT with Fresnel + Beer absorption)
+restore the reference's documented pre-conversion capability as masked
+branches of the same loop.
+
+Randomness is counter-based: every draw is ``uniform*(seed, ray_id,
+slot)`` with one slot per (bounce, purpose) — no mutable RNG state, no
+cross-lane coupling, reproducible under any sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from wasm_pathtracer_tpu.config import RenderSettings, RenderType
+from wasm_pathtracer_tpu.models.camera import Camera, primary_rays
+from wasm_pathtracer_tpu.models.scene import MatKind, SceneData
+from wasm_pathtracer_tpu.models.scene import (
+    EXTRA_REFLECTIVITY, EXTRA_IOR, EXTRA_ABSORB_R, EXTRA_ABSORB_B,
+)
+from wasm_pathtracer_tpu.ops import intersect as isx
+from wasm_pathtracer_tpu.ops import trace as tr
+from wasm_pathtracer_tpu.utils import rng as rnglib
+from wasm_pathtracer_tpu.utils import vecmath as vm
+
+# RNG slot layout: slots [b*8, b*8+8) belong to bounce b; slot 0xFFFF000+
+# is reserved for pixel jitter in the driver.
+SLOT_JITTER = 0x7FFF0000
+_SLOTS_PER_BOUNCE = 8
+_SLOT_HEMI = 0
+_SLOT_RR = 1
+_SLOT_LIGHT_PICK = 2
+_SLOT_LIGHT_POINT = 3
+_SLOT_PNEE = 4
+_SLOT_MAT = 5
+
+
+def sample_cosine_hemisphere(n, r1, r2):
+    """Cosine-weighted hemisphere sample around ``n``
+    (``material.rs:97-118``).  Returns (wi, pdf)."""
+    two_pi_r1 = 2.0 * jnp.pi * r1
+    s = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+    x = jnp.cos(two_pi_r1) * s
+    y = jnp.sqrt(r2)
+    z = jnp.sin(two_pi_r1) * s
+    t, b = vm.tangent_frame(n)
+    wi = vm.normalize(x[..., None] * t + y[..., None] * n + z[..., None] * b)
+    pdf = vm.dot(wi, n) / jnp.pi
+    return wi, pdf
+
+
+def _refract_dir(d, n, eta):
+    """Snell refraction of incoming direction ``d`` about ``n``
+    (eta = n1/n2).  Returns (dir, total_internal_reflection mask)."""
+    cos_i = -vm.dot(d, n)
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.where(sin2_t < 1.0, 1.0 - sin2_t, 1.0))
+    cos_t = jnp.where(tir, 0.0, cos_t)
+    refr = eta[..., None] * d + (eta * cos_i - cos_t)[..., None] * n
+    return vm.normalize(refr, eps=1e-12), tir
+
+
+def _schlick(cos_i, n1, n2):
+    """Schlick's Fresnel approximation."""
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+
+
+def trace_paths(prep: tr.ScenePrep, scene: SceneData,
+                settings: RenderSettings, o, d, ray_id, seed,
+                photon_grid=None):
+    """Trace a batch of paths to radiance.
+
+    Args:
+      o, d: (R,3) primary ray origins/directions.
+      ray_id: (R,) uint32 unique path ids (pixel id is fine).
+      seed: scalar uint32 folding session seed + sample round.
+      photon_grid: optional ``ops.photon.PhotonGrid`` for PNEE.
+
+    Returns (color (R,3), cost (R,) int32 primitive/node tests).
+    """
+    R = o.shape[0]
+    has_nee = settings.has_nee
+    use_pnee = settings.render_type == RenderType.PNEE and photon_grid is not None
+    eps = settings.epsilon
+
+    # area-light table (gathered each call so gradients reach the scene)
+    lrows = scene.params[scene.light_shape]          # (L, 9)
+    lint = scene.emission[scene.light_shape]         # (L, 3)
+    n_lights = max(scene.num_lights, 1)
+
+    def bounce(carry, b):
+        o, d, throughput, color, alive, hdb, absorb, cost = carry
+        slot0 = b * _SLOTS_PER_BOUNCE
+
+        t, sid, hit, c = tr.trace_scene(prep, scene, o, d)
+        cost = cost + jnp.where(alive, c, 0)
+        sid_c = jnp.maximum(sid, 0)
+        # t is +inf on miss; every downstream use takes the sanitized
+        # value so no inf/NaN ever enters a masked lane (masked NaNs
+        # poison gradients through the 0 * NaN VJP of jnp.where)
+        t_safe = jnp.where(hit, t, 1.0)
+        info = tr.hit_info(scene, o, d, t_safe, sid_c)
+
+        # Beer-Lambert absorption through the current medium
+        # (restored refract capability; no-op when absorb == 0)
+        seg = jnp.where(hit, t, 0.0)
+        throughput = throughput * jnp.exp(-absorb * seg[..., None])
+
+        hit_point = o + d * t_safe[..., None]
+        kind = info["kind"]
+        n = info["n"]
+
+        is_emissive = kind == int(MatKind.EMISSIVE)
+        is_refract = kind == int(MatKind.REFRACT)
+        is_reflect = kind == int(MatKind.REFLECT)
+
+        # --- miss: background, path dies (``tracer.rs:325-328``) ---------
+        miss = alive & ~hit
+        color = color + jnp.where(miss[..., None],
+                                  throughput * scene.background[None, :], 0.0)
+
+        # --- emissive hit (``tracer.rs:244-254``) -------------------------
+        emis_hit = alive & hit & is_emissive
+        if settings.is_debug_photons or has_nee:
+            add_emis = emis_hit & ~hdb
+        else:
+            add_emis = emis_hit
+        color = color + jnp.where(add_emis[..., None],
+                                  throughput * info["emission"], 0.0)
+
+        # --- scatter (non-emissive hits) ----------------------------------
+        scat = alive & hit & ~is_emissive
+        wo = -d
+
+        r1, r2, _ = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_HEMI)
+        um, ur, _ = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_MAT)
+
+        # diffuse branch (``tracer.rs:256-263``)
+        wi_d, pdf_d = sample_cosine_hemisphere(n, r1, r2)
+        cos_d = vm.dot(wi_d, n)
+        f_d = info["albedo"] / jnp.pi
+        contrib_d = f_d * (cos_d / jnp.maximum(pdf_d, 1e-12))[..., None]
+
+        # mirror branch
+        wi_m = vm.reflect(wo, n)
+        contrib_m = info["albedo"]
+
+        # refract branch: Fresnel-weighted reflect/transmit + Beer
+        ent = info["is_entering"]
+        ior = info["extra"][:, EXTRA_IOR]
+        n1 = jnp.where(ent, 1.0, ior)
+        n2 = jnp.where(ent, ior, 1.0)
+        eta = n1 / jnp.maximum(n2, 1e-12)
+        cos_i = jnp.clip(-vm.dot(d, n), 0.0, 1.0)
+        wi_t, tir = _refract_dir(d, n, eta)
+        fres = jnp.where(tir, 1.0, _schlick(cos_i, n1, n2))
+        take_refl_r = ur < fres
+        wi_r = jnp.where(take_refl_r[..., None], wi_m, wi_t)
+        contrib_r = jnp.ones_like(contrib_m)   # energy split by the sampling
+
+        # choose branch per material kind
+        mirror_now = (is_reflect & (um < info["extra"][:, EXTRA_REFLECTIVITY]))
+        specular = mirror_now | is_refract
+        wi = jnp.where(is_refract[..., None], wi_r,
+                       jnp.where(mirror_now[..., None], wi_m, wi_d))
+        contrib = jnp.where(is_refract[..., None], contrib_r,
+                            jnp.where(mirror_now[..., None], contrib_m,
+                                      contrib_d))
+
+        new_tp = throughput * contrib
+        # medium tracking for refraction
+        absorb_in = info["extra"][:, EXTRA_ABSORB_R:EXTRA_ABSORB_B + 1]
+        entering_medium = is_refract & ~take_refl_r & ent
+        exiting_medium = is_refract & ~take_refl_r & ~ent
+        new_absorb = jnp.where(entering_medium[..., None], absorb_in,
+                               jnp.where(exiting_medium[..., None], 0.0, absorb))
+
+        diffuse_now = scat & ~specular
+        new_hdb = hdb | diffuse_now
+
+        # --- NEE from diffuse scatters (``tracer.rs:267-313``) ------------
+        if has_nee and scene.num_lights > 0:
+            u_pick = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_PICK)
+            if use_pnee:
+                from wasm_pathtracer_tpu.ops import photon as ph
+                lid, light_chance = ph.sample(photon_grid, hit_point, seed,
+                                              ray_id, slot0 + _SLOT_PNEE)
+            else:
+                lid = jnp.minimum((u_pick[0] * n_lights).astype(jnp.int32),
+                                  n_lights - 1)
+                light_chance = jnp.full((R,), 1.0 / n_lights, jnp.float32)
+
+            lv = lrows[lid]                           # (R, 9)
+            l0, l1, l2 = lv[:, 0:3], lv[:, 3:6], lv[:, 6:9]
+            s1, s2, s3 = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_POINT)
+            p_l, n_l = isx.triangle_pick_random(l0, l1, l2, s1, s2, s3)
+            intensity = lint[lid]
+
+            to_l = p_l - hit_point
+            dis_sq = jnp.maximum(vm.length_sq(to_l), 1e-12)
+            to_l = to_l / jnp.sqrt(dis_sq)[..., None]
+            cos_i_l = vm.dot(to_l, n)
+            cos_o_l = vm.dot(-to_l, n_l)
+            front = (cos_i_l > 0.0) & (cos_o_l > 0.0)
+
+            nee_mask = diffuse_now & front
+            if settings.is_debug_photons:
+                # light-selection debug render (``tracer.rs:297-299``)
+                color = color + jnp.where(nee_mask[..., None],
+                                          new_tp * intensity, 0.0)
+            else:
+                light_sid = scene.light_shape[lid]
+                occluded, sc = tr.shadow_ray(prep, scene, hit_point, p_l,
+                                             light_sid, eps)
+                cost = cost + jnp.where(nee_mask, sc, 0)
+                area = isx.triangle_area(l0, l1, l2)
+                solid_angle = area * cos_o_l / dis_sq
+                w = solid_angle * cos_i_l / jnp.maximum(light_chance, 1e-12)
+                add = nee_mask & ~occluded
+                # double-where: zero w on masked lanes BEFORE the
+                # multiply so the VJP never sees 0 * non-finite
+                w = jnp.where(add, w, 0.0)
+                color = color + jnp.where(add[..., None],
+                                          new_tp * intensity * w[..., None],
+                                          0.0)
+
+        # --- Russian roulette (``tracer.rs:317-324``) ----------------------
+        u_rr = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_RR)[0]
+        keep = jnp.clip(jnp.max(new_tp, axis=-1),
+                        settings.rr_clamp_min, settings.rr_clamp_max)
+        survive = u_rr < keep
+        new_tp = new_tp / keep[..., None]
+
+        new_alive = scat & survive
+        o2 = hit_point + wi * eps
+        # keep rays unchanged on dead lanes (their values are masked anyway)
+        o = jnp.where(scat[..., None], o2, o)
+        d = jnp.where(scat[..., None], wi, d)
+        throughput = jnp.where(scat[..., None], new_tp, throughput)
+        absorb = jnp.where(scat[..., None], new_absorb, absorb)
+        hdb = jnp.where(scat, new_hdb, hdb)
+        alive = new_alive
+
+        return (o, d, throughput, color, alive, hdb, absorb, cost), None
+
+    init = (
+        o, d,
+        jnp.ones((R, 3), jnp.float32),    # throughput
+        jnp.zeros((R, 3), jnp.float32),   # color
+        jnp.ones((R,), bool),             # alive
+        jnp.zeros((R,), bool),            # has_diffuse_bounced
+        jnp.zeros((R, 3), jnp.float32),   # medium absorption
+        jnp.zeros((R,), jnp.int32),       # cost
+    )
+    carry, _ = jax.lax.scan(bounce, init, jnp.arange(settings.max_bounces,
+                                                     dtype=jnp.uint32))
+    _, _, _, color, _, _, _, cost = carry
+    return color, cost
+
+
+def render_pixels(prep, scene, settings: RenderSettings, camera: Camera,
+                  px, py, width: int, height: int, seed,
+                  photon_grid=None):
+    """One radiance sample for each pixel in (px, py).
+
+    Jittered within the pixel (``tracer.rs:181-183``), then path-traced.
+    Returns (color (R,3), cost (R,)).
+    """
+    ray_id = (py * width + px).astype(jnp.uint32)
+    jx, jy, _ = rnglib.uniform3(seed, ray_id, SLOT_JITTER)
+    o, d = primary_rays(camera, px, py, jx, jy, width, height,
+                        settings.screen_z)
+    return trace_paths(prep, scene, settings, o, d, ray_id, seed,
+                       photon_grid=photon_grid)
+
+
+def trace_depth(prep, scene, o, d):
+    """Grayscale depth render (``tracer.rs:205-213``)."""
+    t, _, hit, cost = tr.trace_scene(prep, scene, o, d)
+    return jnp.where(hit, t, jnp.inf), cost
+
+
+def trace_bvh_cost(prep, scene, o, d):
+    """BVH-cost render: primitive/node tests per primary ray
+    (``tracer.rs:216-219``, ``scene.rs:137-144``)."""
+    _, _, _, cost = tr.trace_scene(prep, scene, o, d)
+    return cost

@@ -1,0 +1,5 @@
+from wasm_pathtracer_tpu.parallel.shard import (  # noqa: F401
+    make_ray_mesh,
+    render_image_sharded,
+    make_train_step,
+)

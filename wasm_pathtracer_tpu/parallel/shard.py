@@ -1,0 +1,157 @@
+"""Data-parallel rendering and differentiable training over a device mesh.
+
+The reference's parallelism is pixel-partition data parallelism: JS
+assigns each WASM worker a pixel subset (``src/wasm_interface.rs:26-30``,
+partitioner ``src_ts/client/util.ts:15-24``), with the scene replicated
+per worker and frames merged through a SharedArrayBuffer.  The TPU-native
+equivalent (SURVEY §2c):
+
+- a 1-D ``jax.sharding.Mesh`` over all chips with one axis, ``rays``;
+- ray/pixel batches sharded over ``rays`` via ``shard_map``; the scene
+  (shape table, BVH, photon grid, material leaves) **replicated**;
+- per-ray counter RNG (no shared state), so results are bit-identical
+  under any device count;
+- gradients of replicated scene/camera parameters all-reduced with
+  ``psum`` riding the ICI — the collective XLA schedules to overlap with
+  the backward pass.
+
+Multi-host: the same code runs under ``jax.distributed.initialize``;
+``jax.devices()`` then spans hosts and the ``rays`` axis crosses DCN
+only at the psum boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from wasm_pathtracer_tpu.config import RenderSettings
+from wasm_pathtracer_tpu.models.camera import Camera
+from wasm_pathtracer_tpu.ops import integrator, trace
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or given) devices with axis ``rays``."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, axis_names=("rays",))
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def render_image_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
+                         settings: RenderSettings, camera: Camera,
+                         width: int, height: int, seed, spp: int = 1):
+    """Render a full frame with pixels sharded over the mesh.
+
+    Every device traces its pixel shard with the replicated scene; the
+    result is the sharded image (no gather needed — the caller reads it
+    as a global jax.Array).  Deterministic: per-pixel RNG streams do not
+    depend on the device count.
+    """
+    n_dev = mesh.devices.size
+    n_pix = width * height
+    n_pad = _pad_to(n_pix, n_dev * 8)
+
+    pix = jnp.arange(n_pad, dtype=jnp.int32)
+    px = jnp.minimum(pix % width, width - 1)
+    py = jnp.minimum(pix // width, height - 1)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("rays"), P("rays"), P(), P()),
+        out_specs=P("rays"), check_vma=False)
+    def shard_render(px_s, py_s, scene_s, camera_s):
+        acc = jnp.zeros((px_s.shape[0], 3), jnp.float32)
+        for s in range(spp):
+            col, _ = integrator.render_pixels(
+                prep, scene_s, settings, camera_s, px_s, py_s,
+                width, height,
+                seed + jnp.uint32((s * 0x9E3779B9) & 0xFFFFFFFF))
+            acc = acc + col
+        return acc / spp
+
+    col = shard_render(px, py, scene, camera)
+    img = col[:n_pix].reshape(height, width, 3)
+    return img
+
+
+def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
+                    settings: RenderSettings, width: int, height: int,
+                    lr: float = 0.05) -> Callable:
+    """Build the jitted inverse-rendering training step.
+
+    The flagship differentiable workload: render the scene, compare to a
+    target image, and descend on the scene's material leaves (albedo,
+    emission) and the camera pose.  Discrete path decisions (light pick,
+    RR, BVH hit selection) consume RNG that does not depend on the
+    optimized parameters, so the per-sample radiance is differentiable
+    w.r.t. shading/pdf terms — the detach-discrete/differentiate-shading
+    decomposition of BASELINE.json's north star.
+
+    Per-device gradients over the ray shard are ``psum``-ed over the
+    ``rays`` axis inside shard_map; XLA overlaps the all-reduce with the
+    backward computation.
+    """
+    n_dev = mesh.devices.size
+    n_pix = width * height
+    n_pad = _pad_to(n_pix, n_dev * 8)
+    pix = jnp.arange(n_pad, dtype=jnp.int32)
+    px_all = jnp.minimum(pix % width, width - 1)
+    py_all = jnp.minimum(pix // width, height - 1)
+    valid_all = (pix < n_pix).astype(jnp.float32)
+    inv_n = 1.0 / n_pix
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("rays"), P("rays"), P(), P(), P("rays"), P("rays"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    def step(px_s, py_s, scene_s, camera_s, target_s, valid_s, seed):
+
+        def loss_fn(leaves, camera):
+            sc = scene_s.with_materials(albedo=leaves["albedo"],
+                                        emission=leaves["emission"])
+            col, _ = integrator.render_pixels(
+                prep, sc, settings, camera, px_s, py_s, width, height, seed)
+            # mean over ALL real pixels (pad rows masked): local sum *
+            # global 1/N, so psum of grads reconstructs the global gradient
+            return jnp.sum(valid_s[:, None] * (col - target_s) ** 2) * inv_n
+
+        leaves = dict(albedo=scene_s.albedo, emission=scene_s.emission)
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            leaves, camera_s)
+        g_leaves, g_cam = grads
+        # gradient all-reduce over the ray shards (ICI psum)
+        g_leaves = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), g_leaves)
+        g_cam = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), g_cam)
+        loss = jax.lax.psum(loss, "rays")
+
+        new_albedo = jnp.clip(scene_s.albedo - lr * g_leaves["albedo"], 0.0, 1.0)
+        new_emission = jnp.maximum(
+            scene_s.emission - lr * g_leaves["emission"], 0.0)
+        new_cam = Camera(
+            location=camera_s.location - lr * g_cam.location,
+            rot_x=camera_s.rot_x - lr * g_cam.rot_x,
+            rot_y=camera_s.rot_y - lr * g_cam.rot_y,
+        )
+        return loss, dict(albedo=new_albedo, emission=new_emission), new_cam
+
+    @jax.jit
+    def train_step(scene, camera, target, seed):
+        t = target.reshape(-1, 3)
+        t = jnp.pad(t, ((0, n_pad - n_pix), (0, 0)))
+        loss, new_leaves, new_cam = step(px_all, py_all, scene, camera, t,
+                                         valid_all, seed)
+        scene = scene.with_materials(albedo=new_leaves["albedo"],
+                                     emission=new_leaves["emission"])
+        return loss, scene, new_cam
+
+    return train_step
