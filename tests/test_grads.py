@@ -1,0 +1,131 @@
+"""Gradient correctness: analytic pixel gradients vs finite differences.
+
+The BASELINE.md acceptance criterion: "analytic pixel gradients
+allclose vs. finite differences".  Finite differences use common random
+numbers (same counter RNG seed on both sides), so continuous terms
+cancel exactly and only discrete borderline flips (RR survival,
+occlusion edges) add noise — emission is exactly linear in the
+radiance, albedo nearly so, and both match FD tightly on aggregate.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wasm_pathtracer_tpu.config import RenderSettings, RenderType
+from wasm_pathtracer_tpu.models import scenes
+from wasm_pathtracer_tpu.models.camera import Camera
+from wasm_pathtracer_tpu.ops import integrator, trace
+
+W = H = 16
+SEEDS = (3, 17, 91, 222)
+
+
+def _setup():
+    scene = scenes.sphere_plane()
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=5)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    px, py = pix % W, pix // W
+
+    def render_mean(scene_, cam_, seed):
+        col, _ = integrator.render_pixels(prep, scene_, st, cam_, px, py,
+                                          W, H, jnp.uint32(seed))
+        return jnp.mean(col)
+
+    return scene, cam, render_mean
+
+
+def _fd_vs_grad(loss, x0, direction, h):
+    """Directional derivative: analytic vs central finite difference,
+    averaged over seeds (common random numbers)."""
+    ana, fd = 0.0, 0.0
+    for s in SEEDS:
+        g = jax.grad(lambda x: loss(x, s))(x0)
+        ana += float(jnp.sum(g * direction))
+        fd += (float(loss(x0 + h * direction, s))
+               - float(loss(x0 - h * direction, s))) / (2 * h)
+    return ana / len(SEEDS), fd / len(SEEDS)
+
+
+def test_emission_gradient_matches_fd():
+    scene, cam, render_mean = _setup()
+
+    def loss(emission, seed):
+        return render_mean(scene.with_materials(emission=emission), cam, seed)
+
+    direction = jnp.zeros_like(scene.emission).at[2:4].set(1.0)  # the light
+    ana, fd = _fd_vs_grad(loss, scene.emission, direction, h=0.05)
+    assert abs(ana - fd) <= 0.02 * max(abs(fd), 1e-6) + 1e-5, (ana, fd)
+    assert ana > 0  # brighter light -> brighter image
+
+
+def test_albedo_gradient_matches_fd():
+    """With the RR keep-chance pinned (rr_min == rr_max) the survival
+    decision no longer depends on albedo, so no discrete boundary terms
+    enter the finite difference and the comparison is tight.  (With
+    adaptive RR both sides still agree in expectation — the boundary
+    term cancels against the 1/keep reweighting derivative — but the FD
+    variance from rare flips is O(1/h) per sample; see the statistical
+    test below.)"""
+    scene = scenes.sphere_plane()
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=5,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+
+    def loss(albedo, seed):
+        sc = scene.with_materials(albedo=albedo)
+        col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
+                                          pix // W, W, H, jnp.uint32(seed))
+        return jnp.mean(col)
+
+    r = np.random.default_rng(0)
+    direction = jnp.asarray(r.uniform(-1, 1, scene.albedo.shape), jnp.float32)
+    ana, fd = _fd_vs_grad(loss, scene.albedo, direction, h=5e-3)
+    assert abs(ana - fd) <= 0.03 * max(abs(fd), 1e-5) + 1e-4, (ana, fd)
+
+
+def test_albedo_gradient_with_rr_statistically_consistent():
+    """Full estimator (adaptive RR): analytic and FD agree in sign and
+    magnitude; exact agreement needs many samples because FD picks up
+    RR boundary flips."""
+    scene, cam, render_mean = _setup()
+
+    def loss(albedo, seed):
+        return render_mean(scene.with_materials(albedo=albedo), cam, seed)
+
+    r = np.random.default_rng(0)
+    direction = jnp.asarray(r.uniform(-1, 1, scene.albedo.shape), jnp.float32)
+    ana, fd = _fd_vs_grad(loss, scene.albedo, direction, h=5e-3)
+    assert np.sign(ana) == np.sign(fd), (ana, fd)
+    assert 0.5 < abs(ana / fd) < 2.0, (ana, fd)
+
+
+def test_camera_gradient_is_finite_and_correlates_with_fd():
+    scene, cam, render_mean = _setup()
+
+    def loss(rx, seed):
+        c = Camera(location=cam.location, rot_x=rx, rot_y=cam.rot_y)
+        return render_mean(scene, c, seed)
+
+    ana, fd = 0.0, 0.0
+    for s in SEEDS:
+        g = jax.grad(lambda x: loss(x, s))(cam.rot_x)
+        ana += float(g)
+        fd += (float(loss(cam.rot_x + 1e-3, s))
+               - float(loss(cam.rot_x - 1e-3, s))) / 2e-3
+    ana /= len(SEEDS)
+    fd /= len(SEEDS)
+    # The analytic camera gradient is the *interior* (shading) term;
+    # finite differences additionally pick up silhouette terms (rays
+    # crossing object edges produce O(1)/h jumps), which dominate at
+    # this resolution.  Edge-aware reparameterization is the planned
+    # fix (SURVEY §7 hard part (b)); until then the contract is:
+    # finite, non-zero, and sign-consistent with FD.
+    assert np.isfinite(ana)
+    assert ana != 0.0
+    if abs(fd) > 1e-3:
+        assert np.sign(ana) == np.sign(fd), (ana, fd)

@@ -118,6 +118,14 @@ class SceneData:
     tex_id: jax.Array       # (N,) int32, -1 = untextured
     # --- lights -----------------------------------------------------------
     light_shape: jax.Array  # (L,) int32 shape ids of emissive (area) shapes
+    # 0-sized lights (``src/graphics/lights/mod.rs``: point/spot/
+    # directional — constructed but never shaded in the live reference;
+    # restored here for the Whitted integrator)
+    plight_kind: jax.Array   # (PL,) int32: 0 point, 1 spot, 2 directional
+    plight_pos: jax.Array    # (PL, 3) position (point/spot) or direction
+    plight_dir: jax.Array    # (PL, 3) spot direction / directional dir
+    plight_color: jax.Array  # (PL, 3) color * strength
+    plight_angle: jax.Array  # (PL,) spot falloff angle
     # --- misc -------------------------------------------------------------
     background: jax.Array   # (3,) f32
     # --- textures ---------------------------------------------------------
@@ -127,6 +135,7 @@ class SceneData:
     num_inf: int = _field(metadata=dict(static=True), default=0)
     num_shapes: int = _field(metadata=dict(static=True), default=0)
     num_lights: int = _field(metadata=dict(static=True), default=0)
+    num_plights: int = _field(metadata=dict(static=True), default=0)
 
     @property
     def finite_slice(self):
@@ -161,6 +170,7 @@ class SceneBuilder:
         self._inf: list[tuple[int, np.ndarray, Material]] = []
         self._fin: list[tuple[int, np.ndarray, Material]] = []
         self.textures: list[np.ndarray] = []
+        self._plights: list[tuple[int, tuple, tuple, tuple, float]] = []
 
     # -- shape adders ------------------------------------------------------
     def _add(self, ptype: PrimType, params: list, mat: Material, infinite: bool):
@@ -195,6 +205,19 @@ class SceneBuilder:
     def add_square(self, center, size, mat: Material):
         """Axis-aligned y-plane quad (``src/graphics/primitives/square.rs``)."""
         self._add(PrimType.SQUARE, [*center, size], mat, infinite=False)
+
+    # -- 0-sized lights (``lights/mod.rs:20-35``) -------------------------
+    def add_point_light(self, location, color, strength: float):
+        c = tuple(strength * x for x in color)
+        self._plights.append((0, tuple(location), (0.0, 0.0, 1.0), c, 0.0))
+
+    def add_spot_light(self, location, direction, angle, color, strength):
+        c = tuple(strength * x for x in color)
+        self._plights.append((1, tuple(location), tuple(direction), c, angle))
+
+    def add_directional_light(self, direction, color):
+        self._plights.append((2, (0.0, 0.0, 0.0), tuple(direction),
+                              tuple(color), 0.0))
 
     def add_texture(self, rgb: np.ndarray) -> int:
         """Register an RGB float texture; returns its id."""
@@ -235,6 +258,13 @@ class SceneBuilder:
         else:
             atlas = np.zeros((0, 1, 1, 3), np.float32)
 
+        pl = self._plights
+        plight_kind = np.array([p[0] for p in pl], np.int32)
+        plight_pos = np.array([p[1] for p in pl], np.float32).reshape(len(pl), 3)
+        plight_dir = np.array([p[2] for p in pl], np.float32).reshape(len(pl), 3)
+        plight_color = np.array([p[3] for p in pl], np.float32).reshape(len(pl), 3)
+        plight_angle = np.array([p[4] for p in pl], np.float32)
+
         return SceneData(
             ptype=jnp.asarray(ptype),
             params=jnp.asarray(params),
@@ -244,11 +274,17 @@ class SceneBuilder:
             mat_extra=jnp.asarray(extra),
             tex_id=jnp.asarray(tex_id),
             light_shape=jnp.asarray(light_shape),
+            plight_kind=jnp.asarray(plight_kind),
+            plight_pos=jnp.asarray(plight_pos),
+            plight_dir=jnp.asarray(plight_dir),
+            plight_color=jnp.asarray(plight_color),
+            plight_angle=jnp.asarray(plight_angle),
             background=jnp.asarray(self.background, jnp.float32),
             textures=jnp.asarray(atlas),
             num_inf=len(self._inf),
             num_shapes=n,
             num_lights=int(light_shape.shape[0]),
+            num_plights=len(pl),
         )
 
 

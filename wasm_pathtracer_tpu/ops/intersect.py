@@ -15,6 +15,7 @@ epsilon slack.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from wasm_pathtracer_tpu.utils import vecmath as vm
@@ -186,12 +187,17 @@ def rays_vs_tori(o, d, center, big_r, small_r):
     sign0 = jnp.sign(_torus_sdf(lo + ld * t[..., None], big_r[None], small_r[None]))
     sign0 = jnp.where(sign0 == 0.0, 1.0, sign0)
 
-    for _ in range(_TORUS_STEPS):
+    def march(_, t):
         p = lo + ld * t[..., None]
         dist = sign0 * _torus_sdf(p, big_r[None], small_r[None])
         # conservative step; stop (step 0) once converged or out of the box
-        step = jnp.where((dist > _TORUS_TOL) & (t < t_out), dist * 0.95, 0.0)
-        t = t + step
+        return t + jnp.where((dist > _TORUS_TOL) & (t < t_out),
+                             dist * 0.95, 0.0)
+
+    # fori_loop, not a Python unroll: the march sits inside the
+    # integrator's bounce scan, and 64 unrolled bodies x every bounce
+    # explodes XLA compile time on scenes with tori
+    t = jax.lax.fori_loop(0, _TORUS_STEPS, march, t)
 
     p = lo + ld * t[..., None]
     dist = jnp.abs(_torus_sdf(p, big_r[None], small_r[None]))

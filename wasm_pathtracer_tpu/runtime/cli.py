@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ticks", type=int, default=None,
                    help="exact tick budget (overrides --seconds)")
     p.add_argument("--max-bounces", type=int, default=16)
+    p.add_argument("--whitted", type=int, default=None, metavar="DEPTH",
+                   help="render one deterministic Whitted frame at this "
+                        "recursion depth instead of path tracing")
     p.add_argument("--obj", type=str, default=None,
                    help="OBJ mesh to upload as mesh id 1 (bunny slot)")
     p.add_argument("--out", type=str, default=None, help="output PNG path")
@@ -84,6 +87,21 @@ def main(argv=None):
 
     if args.resume:
         checkpoint.load(args.resume, sess)
+
+    if args.whitted is not None:
+        import jax.numpy as jnp
+        import numpy as np
+        from wasm_pathtracer_tpu.ops import whitted as wh
+        from wasm_pathtracer_tpu.utils.png import tonemap_u8
+        pix = jnp.arange(width * height, dtype=jnp.int32)
+        img = wh.render_whitted(sess.prep, sess.scene, sess.left.settings,
+                                sess.camera, pix % width, pix // width,
+                                width, height, depth=args.whitted)
+        img = np.asarray(img).reshape(height, width, 3)
+        if args.out:
+            write_png(args.out, tonemap_u8(img))
+            print(f"wrote {args.out}")
+        return
 
     drv = Driver(sess)
     t0 = time.perf_counter()
