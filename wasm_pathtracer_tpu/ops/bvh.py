@@ -299,7 +299,7 @@ def depth(bounds4, child4, ni=0) -> int:
     return best
 
 
-def attach_bvh(prep, scene, num_bins: int = 16):
+def attach_bvh(prep, scene, num_bins: int = 16, use_pallas: bool = False):
     """Build a BVH over the scene's triangles and attach it to the prep.
 
     The leaf order array maps leaf-contiguous triangle slots to global
@@ -323,9 +323,42 @@ def attach_bvh(prep, scene, num_bins: int = 16):
         bounds4, child4, order = build(lo, hi, num_bins)
 
     prim_index = tri_ids[order].astype(np.int32)
+    # leaf-ordered triangle rows: contiguous fetches for the fast paths
+    tri_rows = params[prim_index][:, :9].astype(np.float32)
     return dataclasses.replace(
         prep,
         bvh_bounds=jnp.asarray(bounds4),
         bvh_children=jnp.asarray(child4),
         bvh_prim_index=jnp.asarray(prim_index),
+        bvh_tri_rows=jnp.asarray(tri_rows),
+        use_pallas=use_pallas,
     )
+
+
+def attach_clusters(prep, scene, num_bins: int = 16,
+                    group: int | None = None):
+    """Build the cluster-dense structure (``ops.cluster``) for the
+    scene's triangles: a BVH build supplies the spatially-coherent leaf
+    order, then contiguous runs become fixed-size clusters.  This is
+    the default mesh path on TPU (see ops.cluster for why a classic
+    BVH walk is not)."""
+    from wasm_pathtracer_tpu.ops import cluster as cl
+
+    tri_ids = np.asarray(prep.idx_triangle)
+    params = np.asarray(scene.params)
+    v = params[tri_ids][:, :9].reshape(-1, 3, 3)
+    pad = np.float32(0.1 * 2e-4)
+    lo = v.min(1) - pad
+    hi = v.max(1) + pad
+
+    try:
+        from wasm_pathtracer_tpu.ops import bvh_native
+        _, _, order = bvh_native.build(lo, hi, num_bins)
+    except Exception:
+        _, _, order = build(lo, hi, num_bins)
+
+    prim_index = tri_ids[order].astype(np.int32)
+    tri_rows = params[prim_index][:, :9].astype(np.float32)
+    cs = cl.build_clusters(tri_rows, prim_index,
+                           group or cl.CLUSTER_SIZE)
+    return dataclasses.replace(prep, cluster=cs)

@@ -194,7 +194,14 @@ def grid_bounds_for_scene(scene: SceneData, settings):
     from wasm_pathtracer_tpu.models.scene import finite_aabb
     if settings.photon_grid_fit_scene:
         lo, hi = finite_aabb(scene)
-        pad = 0.05 * (hi - lo + 1e-3)
+        # Infinite planes contribute nothing to the finite AABB, yet
+        # most photons land on them (floors/walls), so pad every axis
+        # by half the largest extent (at least 1 unit).  The estimator
+        # is unbiased for any cell layout; tight-but-covering bounds
+        # just give better guidance than the reference's fixed +-1024
+        # box (``photon_tree.rs:52-54``).
+        ext = float(np.max(hi - lo))
+        pad = np.float32(max(0.5 * ext, 1.0))
         return lo - pad, hi + pad
     s = settings.photon_world_size
     return (np.full(3, -s, np.float32), np.full(3, s, np.float32))

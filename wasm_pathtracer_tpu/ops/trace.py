@@ -56,13 +56,20 @@ class ScenePrep:
     bvh_bounds: jax.Array | None = None      # (M, 4, 6) f32 child AABBs
     bvh_children: jax.Array | None = None    # (M, 4) int32 (neg = leaf)
     bvh_prim_index: jax.Array | None = None  # (T,) int32 leaf->shape id
+    bvh_tri_rows: jax.Array | None = None    # (T, 9) f32 leaf-order verts
+    # cluster-dense structure (ops.cluster) — the fast path for meshes
+    cluster: object | None = None            # ClusterSet pytree
+    # route the triangle sweep through the streaming dense Pallas kernel
+    # (ops.traverse_pallas) instead of BVH traversal / XLA dense
+    use_pallas: bool = _field(metadata=dict(static=True), default=False)
 
     @property
     def has_bvh(self) -> bool:
         return self.bvh_bounds is not None
 
 
-def prepare(scene: SceneData, tri_chunk: int = 2048) -> ScenePrep:
+def prepare(scene: SceneData, tri_chunk: int = 2048,
+            use_pallas: bool = False) -> ScenePrep:
     """Host-side split of the shape table into per-type index sets."""
     ptype = np.asarray(scene.ptype)
 
@@ -77,6 +84,7 @@ def prepare(scene: SceneData, tri_chunk: int = 2048) -> ScenePrep:
         idx_aarect=idx(PrimType.AARECT),
         idx_square=idx(PrimType.SQUARE),
         tri_chunk=tri_chunk,
+        use_pallas=use_pallas,
     )
 
 
@@ -137,11 +145,35 @@ def trace_scene(prep: ScenePrep, scene: SceneData, o, d):
 
     n_tri = prep.idx_triangle.shape[0]
     if n_tri:
-        if prep.has_bvh:
+        if prep.use_pallas:
+            # dense streaming Pallas sweep (see ops.traverse_pallas)
+            from wasm_pathtracer_tpu.ops import traverse_pallas as tp
+            planes = tp.pad_tris(P[prep.idx_triangle][:, :9])
+            o_p, d_p = tp.pad_rays(o, d)
+            t, slot = tp.dense_tri_nearest(planes, o_p, d_p)
+            t, slot = t[:R], slot[:R]
+            hit_tri = jnp.isfinite(t)
+            sid = prep.idx_triangle[jnp.clip(slot, 0, n_tri - 1)]
+            sid = jnp.where(hit_tri, sid, -1)
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_id = jnp.where(better, sid, best_id)
+            cost += n_tri
+        elif prep.cluster is not None:
+            from wasm_pathtracer_tpu.ops import cluster as cl
+            t, slot, rounds = cl.trace_clusters(prep.cluster, o, d, best_t)
+            hit_tri = slot >= 0
+            sid = prep.cluster.slot_to_sid[jnp.maximum(slot, 0)]
+            sid = jnp.where(hit_tri, sid, -1)
+            better = hit_tri & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_id = jnp.where(better, sid, best_id)
+            cost += rounds * prep.cluster.blocks.shape[1]
+        elif prep.has_bvh:
             from wasm_pathtracer_tpu.ops import traverse
             t, sid, visits = traverse.trace_bvh4(
                 prep.bvh_bounds, prep.bvh_children, prep.bvh_prim_index,
-                scene, o, d, best_t)
+                prep.bvh_tri_rows, o, d, best_t)
             better = t < best_t
             best_t = jnp.where(better, t, best_t)
             best_id = jnp.where(better, sid, best_id)

@@ -47,19 +47,27 @@ def _aabb4_hit(o, inv_d, bounds, t_max):
     return jnp.where(hit & (entry < t_max), entry, jnp.inf)
 
 
-def _leaf_intersect(scene_params, prim_index, o, d, first, count, t_best,
-                    sid_best):
-    """Intersect up to LEAF_MAX triangles of one leaf (single ray)."""
+def _leaf_intersect(tri_rows, o, d, first, count, t_best, slot_best):
+    """Intersect up to LEAF_MAX triangles of one leaf (single ray).
+
+    ``tri_rows`` is the (T, 9) leaf-ordered vertex table
+    (``ScenePrep.bvh_tri_rows``) — NOT the full shape table: gathering
+    ``scene.params`` inside the vmapped loop makes XLA materialize a
+    rays x shapes x 9 broadcast.  Returns leaf slots; callers map slots
+    to shape ids outside the loop.
+    """
     for i in range(bvhmod.LEAF_MAX):
         valid = i < count
-        slot = first + jnp.minimum(i, count - 1)
-        sid = prim_index[jnp.maximum(slot, 0)]
-        row = scene_params[sid]
+        slot = jnp.maximum(first + jnp.minimum(i, count - 1), 0)
+        # jnp.take, not tri_rows[slot]: scalar indexing lowers to
+        # dynamic_slice, whose vmap rule broadcasts the whole table to
+        # (rays, T, 9); take lowers to a gather
+        row = jnp.take(tri_rows, slot, axis=0, mode='clip')
         t = _tri_one(o, d, row[0:3], row[3:6], row[6:9])
         better = valid & (t < t_best)
         t_best = jnp.where(better, t, t_best)
-        sid_best = jnp.where(better, sid, sid_best)
-    return t_best, sid_best
+        slot_best = jnp.where(better, slot, slot_best)
+    return t_best, slot_best
 
 
 def _tri_one(o, d, v0, v1, v2):
@@ -78,18 +86,18 @@ def _tri_one(o, d, v0, v1, v2):
     return jnp.where(ok, t, jnp.inf)
 
 
-def trace_bvh4(bounds, children, prim_index, scene, o, d, t_init):
+def trace_bvh4(bounds, children, prim_index, tri_rows, o, d, t_init):
     """Nearest triangle hit through the BVH for a ray batch.
 
     Args:
       bounds: (M, 4, 6) child AABBs; children: (M, 4) int32 slots
         (>=0 internal, <0 leaf-encoded, EMPTY for none).
       prim_index: (T,) leaf-order -> global shape id.
+      tri_rows: (T, 9) leaf-ordered triangle vertices.
       t_init: (R,) current best distances (prunes traversal).
 
     Returns (t, shape_id, visits).
     """
-    params = scene.params
 
     def one(o1, d1, t0):
         inv_d = 1.0 / d1
@@ -104,23 +112,22 @@ def trace_bvh4(bounds, children, prim_index, scene, o, d, t_init):
             sp = sp - 1
             visits = visits + 1
 
-            nb = bounds[node]           # (4, 6)
-            ch = children[node]         # (4,)
+            nb = jnp.take(bounds, node, axis=0, mode='clip')    # (4, 6)
+            ch = jnp.take(children, node, axis=0, mode='clip')  # (4,)
             dist = _aabb4_hit(o1, inv_d, nb, t_best)
             dist = jnp.where(ch == bvhmod.EMPTY, jnp.inf, dist)
 
             # --- leaves: intersect inline -----------------------------
+            # no lax.cond here: under vmap, cond batching broadcasts the
+            # branch's closed-over tables to (rays, T, 9); a masked
+            # unconditional call costs LEAF_MAX cheap tests instead
             is_leaf = (ch < 0) & (ch != bvhmod.EMPTY) & jnp.isfinite(dist)
             for i in range(4):
                 first, count = bvhmod.decode_leaf(ch[i])
-
-                def do_leaf(args):
-                    tb, sb = args
-                    return _leaf_intersect(params, prim_index, o1, d1,
-                                           first, count, tb, sb)
-
-                t_best, sid_best = jax.lax.cond(
-                    is_leaf[i], do_leaf, lambda a: a, (t_best, sid_best))
+                count = jnp.where(is_leaf[i], count, 0)
+                first = jnp.where(is_leaf[i], first, 0)
+                t_best, sid_best = _leaf_intersect(
+                    tri_rows, o1, d1, first, count, t_best, sid_best)
 
             # --- internals: push far-to-near so near pops first -------
             is_int = (ch >= 0) & jnp.isfinite(dist)
@@ -136,8 +143,11 @@ def trace_bvh4(bounds, children, prim_index, scene, o, d, t_init):
 
         stack = jnp.zeros((STACK_DEPTH,), jnp.int32)
         state = (jnp.int32(1), stack, t0, jnp.int32(-1), jnp.int32(0))
-        sp, stack, t_best, sid_best, visits = jax.lax.while_loop(
+        sp, stack, t_best, slot_best, visits = jax.lax.while_loop(
             cond, body, state)
-        return t_best, sid_best, visits
+        return t_best, slot_best, visits
 
-    return jax.vmap(one)(o, d, t_init)
+    t, slot, visits = jax.vmap(one)(o, d, t_init)
+    sid = prim_index[jnp.maximum(slot, 0)]
+    sid = jnp.where(slot >= 0, sid, -1)
+    return t, sid, visits

@@ -44,8 +44,9 @@ from wasm_pathtracer_tpu.utils.png import tonemap_u8
 
 def fold_seed(seed: int, round_: int) -> np.uint32:
     """Derive a per-round seed; pure function of (session seed, round)."""
-    x, _, _ = rnglib._pcg3d(np.uint32(seed), np.uint32(round_),
-                            np.uint32(0x9E3779B9), np)
+    with np.errstate(over="ignore"):  # uint32 wrap is the point
+        x, _, _ = rnglib._pcg3d(np.uint32(seed), np.uint32(round_),
+                                np.uint32(0x9E3779B9), np)
     return x
 
 
@@ -225,11 +226,14 @@ class Session:
     def _prepare(self, scene: SceneData) -> trace.ScenePrep:
         prep = trace.prepare(scene)
         n_tri = prep.idx_triangle.shape[0]
-        want_bvh = (self.use_bvh if self.use_bvh is not None
-                    else n_tri >= RenderSettings().bvh_min_triangles)
-        if want_bvh and n_tri > 0:
+        want_accel = (self.use_bvh if self.use_bvh is not None
+                      else n_tri >= RenderSettings().bvh_min_triangles)
+        if want_accel and n_tri > 0:
+            # cluster-dense is the TPU mesh path (see ops.cluster for
+            # why a per-ray BVH walk is not); attach_bvh remains
+            # available for explicit use
             from wasm_pathtracer_tpu.ops import bvh
-            prep = bvh.attach_bvh(prep, scene)
+            prep = bvh.attach_clusters(prep, scene)
         return prep
 
     def write_density(self, x0, y0, density, bootstrap):
