@@ -25,7 +25,8 @@ def _setup():
     scene = scenes.sphere_plane()
     prep = trace.prepare(scene)
     cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
-    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=5)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=5,
+                        early_exit=False)
     pix = jnp.arange(W * H, dtype=jnp.int32)
     px, py = pix % W, pix // W
 
@@ -73,7 +74,8 @@ def test_albedo_gradient_matches_fd():
     prep = trace.prepare(scene)
     cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
     st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=5,
-                        rr_clamp_min=0.9, rr_clamp_max=0.9)
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False)
     pix = jnp.arange(W * H, dtype=jnp.int32)
 
     def loss(albedo, seed):

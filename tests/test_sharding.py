@@ -24,7 +24,8 @@ def _setup():
     scene = scenes.sphere_plane()
     prep = trace.prepare(scene)
     cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
-    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+                        early_exit=False)
     return scene, prep, cam, st
 
 

@@ -62,6 +62,10 @@ class RenderSettings:
     # diffuse throughput decays far faster; 16 matches converged output to
     # well under 1e-3 per channel.
     max_bounces: int = 16
+    # Batch-level early exit of the bounce loop once every path has
+    # terminated (lax.while_loop).  Not reverse-differentiable: gradient
+    # workloads must set False to get the lax.scan form.
+    early_exit: bool = True
     # Epsilon bias for shadow/bounce ray origins (``src/math/mod.rs:11``).
     epsilon: float = 2e-4
     # Russian roulette keep-chance clamp (``src/tracer.rs:318``).

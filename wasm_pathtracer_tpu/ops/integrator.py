@@ -273,8 +273,30 @@ def trace_paths(prep: tr.ScenePrep, scene: SceneData,
         jnp.zeros((R, 3), jnp.float32),   # medium absorption
         jnp.zeros((R,), jnp.int32),       # cost
     )
-    carry, _ = jax.lax.scan(bounce, init, jnp.arange(settings.max_bounces,
-                                                     dtype=jnp.uint32))
+
+    if settings.early_exit:
+        # while_loop, not scan: RR kills most paths within a few
+        # bounces, so the batch usually terminates long before
+        # max_bounces — the early exit skips whole scene traces (the
+        # dominant cost).  The reference's per-ray loop exits per ray
+        # (``tracer.rs:237``); in lockstep the batch exits when its
+        # last path dies.  while_loop is not reverse-differentiable, so
+        # gradient workloads set early_exit=False and take the scan.
+        def w_cond(state):
+            b, carry = state
+            alive = carry[4]
+            return (b < jnp.uint32(settings.max_bounces)) & jnp.any(alive)
+
+        def w_body(state):
+            b, carry = state
+            carry, _ = bounce(carry, b)
+            return b + jnp.uint32(1), carry
+
+        _, carry = jax.lax.while_loop(w_cond, w_body, (jnp.uint32(0), init))
+    else:
+        carry, _ = jax.lax.scan(bounce, init,
+                                jnp.arange(settings.max_bounces,
+                                           dtype=jnp.uint32))
     _, _, _, color, _, _, _, cost = carry
     return color, cost
 

@@ -108,6 +108,8 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
     py_all = jnp.minimum(pix // width, height - 1)
     valid_all = (pix < n_pix).astype(jnp.float32)
     inv_n = 1.0 / n_pix
+    # reverse-mode AD needs the scan-form bounce loop
+    settings = settings.replace(early_exit=False)
 
     @functools.partial(
         shard_map, mesh=mesh,
