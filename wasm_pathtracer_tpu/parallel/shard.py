@@ -85,7 +85,7 @@ def render_image_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
 
 def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
                     settings: RenderSettings, width: int, height: int,
-                    lr: float = 0.05) -> Callable:
+                    lr: float = 0.05, spp: int = 1) -> Callable:
     """Build the jitted inverse-rendering training step.
 
     The flagship differentiable workload: render the scene, compare to a
@@ -121,8 +121,13 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
         def loss_fn(leaves, camera):
             sc = scene_s.with_materials(albedo=leaves["albedo"],
                                         emission=leaves["emission"])
-            col, _ = integrator.render_pixels(
-                prep, sc, settings, camera, px_s, py_s, width, height, seed)
+            acc = jnp.zeros((px_s.shape[0], 3), jnp.float32)
+            for k in range(spp):  # average spp samples: lower-variance grads
+                col, _ = integrator.render_pixels(
+                    prep, sc, settings, camera, px_s, py_s, width, height,
+                    seed + jnp.uint32((k * 0x9E3779B9) & 0xFFFFFFFF))
+                acc = acc + col
+            col = acc / spp
             # mean over ALL real pixels (pad rows masked): local sum *
             # global 1/N, so psum of grads reconstructs the global gradient
             return jnp.sum(valid_s[:, None] * (col - target_s) ** 2) * inv_n

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--whitted", type=int, default=None, metavar="DEPTH",
                    help="render one deterministic Whitted frame at this "
                         "recursion depth instead of path tracing")
+    p.add_argument("--debug-view", choices=["depth", "bvh"], default=None,
+                   help="render a single depth / BVH-cost false-color "
+                        "frame (``tracer.rs:205-219``)")
     p.add_argument("--obj", type=str, default=None,
                    help="OBJ mesh to upload as mesh id 1 (bunny slot)")
     p.add_argument("--out", type=str, default=None, help="output PNG path")
@@ -87,6 +90,29 @@ def main(argv=None):
 
     if args.resume:
         checkpoint.load(args.resume, sess)
+
+    if args.debug_view is not None:
+        import jax.numpy as jnp
+        import numpy as np
+        from wasm_pathtracer_tpu.models.camera import primary_rays
+        from wasm_pathtracer_tpu.ops import accum, integrator
+        from wasm_pathtracer_tpu.utils.png import write_png, tonemap_u8
+        pix = jnp.arange(width * height, dtype=jnp.int32)
+        px, py = pix % width, pix // width
+        o, d = primary_rays(sess.camera, px, py,
+                            jnp.full(px.shape, 0.5), jnp.full(py.shape, 0.5),
+                            width, height)
+        if args.debug_view == "depth":
+            t, _ = integrator.trace_depth(sess.prep, sess.scene, o, d)
+            img = np.asarray(accum.depth_image(t.reshape(height, width)))
+        else:
+            cost = integrator.trace_bvh_cost(sess.prep, sess.scene, o, d)
+            c = cost.reshape(height, width).astype(jnp.float32)
+            img = np.asarray(accum.mix_color(c / jnp.maximum(jnp.max(c), 1)))
+        if args.out:
+            write_png(args.out, tonemap_u8(img))
+            print(f"wrote {args.out}")
+        return
 
     if args.whitted is not None:
         import jax.numpy as jnp
