@@ -33,7 +33,7 @@ def main():
                               max_bounces=8)
     camera = initial_camera(0)
     W = H = 512
-    B = 65536
+    B = 32768   # batch sweep on v5e: 32k ~ 527k paths/s, 65k ~ 521k, 262k ~ 323k
 
     @jax.jit
     def step(seed):

@@ -66,9 +66,11 @@ def main(argv=None):
     from wasm_pathtracer_tpu.runtime import checkpoint
     from wasm_pathtracer_tpu.utils.png import write_png
 
-    # viewport clamped like the GUI (PanelSettings.elm:123-125)
-    width = min(max(args.width, 128), 1024)
-    height = min(max(args.height, 128), 1024)
+    # viewport clamped like the GUI (PanelSettings.elm:123-125 caps at
+    # 1024; we extend to 1080p-capable since BASELINE config 5 asks for
+    # 1080p adaptive path tracing)
+    width = min(max(args.width, 128), 1920)
+    height = min(max(args.height, 128), 1920)
 
     def settings(rt, adaptive):
         return RenderSettings(render_type=RenderType(rt), adaptive=adaptive,
