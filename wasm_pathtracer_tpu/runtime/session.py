@@ -66,6 +66,9 @@ class RenderInstance:
         self.settings = settings
         self.round = 0
         self.num_bvh_hits = 0
+        self._rays_traced = 0
+        self._pending_cost: list = []
+        self._last_density = None
         self.photon_grid: photon.PhotonGrid | None = None
         self._step = None
         self._emit = None
@@ -107,7 +110,10 @@ class RenderInstance:
             prep = s.prep
             use_photon = settings.render_type == RenderType.PNEE
 
-            @functools.partial(jax.jit, static_argnames=("bootstrap",))
+            # donate the accumulator: it is rebound to the result each
+            # step, so the scatter-add updates in place
+            @functools.partial(jax.jit, static_argnames=("bootstrap",),
+                               donate_argnums=(2,))
             def step(scene, camera, buf, seed, photon_grid, bootstrap):
                 if settings.adaptive:
                     px, py, density = adaptive.pick_pixels(
@@ -149,18 +155,30 @@ class RenderInstance:
         batch = settings.ray_batch_size
         while ticks_left > 0:
             seed = fold_seed(s.seed, self.round)
+            # bootstrap decision from the host-side ledger (a device
+            # read here would sync every batch)
             bootstrap = settings.adaptive and (
-                self.round_samples() < settings.adaptive_bootstrap_spp)
+                self._rays_traced / max(self.width * self.height, 1)
+                < settings.adaptive_bootstrap_spp)
             buf, density, cost = step(s.scene, s.camera, s.buffer,
                                       jnp.uint32(seed), self.photon_grid,
                                       bootstrap)
             s.buffer = buf
+            self._pending_cost.append(cost)
             if settings.adaptive:
-                s.write_density(self.x0, self.y0, density, bootstrap)
-            self.num_bvh_hits += int(cost)
+                self._last_density = (density, bootstrap)
             self.round += 1
             traced += batch
+            self._rays_traced += batch
             ticks_left -= batch
+        if settings.adaptive and self._last_density is not None:
+            density, bootstrap = self._last_density
+            s.write_density(self.x0, self.y0, density, bootstrap)
+            self._last_density = None
+        # fold the cost counters once per compute() call, not per batch
+        for c in self._pending_cost:
+            self.num_bvh_hits += int(c)
+        self._pending_cost = []
         return traced
 
     def round_samples(self) -> float:
@@ -174,6 +192,9 @@ class RenderInstance:
         # ``RenderInstance::reset`` (``tracer.rs:84-88``): keeps photons
         self.num_bvh_hits = 0
         self.round = 0
+        self._rays_traced = 0
+        self._pending_cost = []
+        self._last_density = None
 
     def update_scene(self):
         # ``RenderInstance::update_scene`` (``tracer.rs:92-97``)
