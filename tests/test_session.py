@@ -105,3 +105,23 @@ def test_sampling_density_view():
     img = s.results(show_sampling=True)
     assert img.shape == (64, 64, 3)
     assert img.max() > 0
+
+
+def test_checkpoint_preserves_photon_state(tmp_path):
+    pnee = RenderSettings(render_type=RenderType.PNEE, max_bounces=4,
+                          ray_batch_size=2048, total_photons=4000,
+                          photon_grid_res=8)
+    s = Session(48, 48, scene_id=100, left=pnee, right=pnee)
+    s.compute(4096)
+    assert s.left.photon_grid is not None
+    n_before = int(s.left.photon_grid.num_photons)
+    assert n_before > 0
+
+    path = str(tmp_path / "pnee.npz")
+    checkpoint.save(path, s)
+    s2 = Session(48, 48, scene_id=100, left=pnee, right=pnee)
+    checkpoint.load(path, s2)
+    assert int(s2.left.photon_grid.num_photons) == n_before
+    assert np.array_equal(np.asarray(s2.left.photon_grid.bins),
+                          np.asarray(s.left.photon_grid.bins))
+    s2.compute(2048)  # resumes without rebuilding from scratch
