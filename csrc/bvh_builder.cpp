@@ -1,4 +1,4 @@
-// Native BVH builder: binned-SAH BVH2 + greedy 4-wide collapse.
+// Native BVH builder: binned-SAH BVH2 + DP-optimal 4-wide collapse.
 //
 // The reference builds its BVH in Rust on the CPU on every scene
 // (re)build (``/root/reference/src/graphics/bvh.rs`` binned SAH,
@@ -18,6 +18,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libbvh.so bvh_builder.cpp
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -204,56 +205,151 @@ struct Builder {
   }
 };
 
-// Greedy 2->4 collapse (the DP-optimal variant of bvh4.rs:244-281 is
-// within a few percent of this greedy expansion by surface area).
+// DP-optimal 2->4 collapse: Pinto's "Adaptive Collapsing" as the
+// reference implements it (bvh4.rs:244-281 cost DP + :127-185
+// backtracking).  memo[n][t-1] is the minimal traversal cost of
+// replacing node n's subtree with a tree-cut of exactly t roots
+// (t = 2..4); memo[n][0] keeps n as one 4-wide node (one AABB test +
+// its best <=4-cut).  F[n][c-1] = min(memo[n][:c]) is node_flat_cost.
 struct Collapser {
   const std::vector<Node2>& nodes;
   float* bounds4;
   int32_t* child4;
   int max_nodes;
   int count = 0;
+  std::vector<std::array<float, 4>> memo, F;
 
-  int emit(int ni) {
-    int slot = count++;
-    if (count > max_nodes) return -2;
+  struct Cut {  // one cut entry: child AABB + encoded child index
+    float lo[3], hi[3];
+    int32_t entry;
+  };
+
+  void fill_memo() {
+    const float INF = std::numeric_limits<float>::infinity();
+    memo.assign(nodes.size(), {INF, INF, INF, INF});
+    F.assign(nodes.size(), {1.f, 1.f, 1.f, 1.f});  // leaves: cost 1 any cut
+    // iterative post-order (meshes can be deep)
+    std::vector<std::pair<int, bool>> stack;
+    stack.push_back({0, false});
+    while (!stack.empty()) {
+      auto [n, ready] = stack.back();
+      stack.pop_back();
+      if (nodes[n].leaf()) continue;
+      int l = nodes[n].left, r = nodes[n].left + 1;
+      if (!ready) {
+        stack.push_back({n, true});
+        stack.push_back({l, false});
+        stack.push_back({r, false});
+        continue;
+      }
+      auto& m = memo[n];
+      for (int t = 2; t <= 4; ++t) {
+        float best = INF;
+        for (int i = 1; i < t; ++i)
+          best = std::min(best, F[l][i - 1] + F[r][t - i - 1]);
+        m[t - 1] = best;
+      }
+      m[0] = 1.f + std::min({m[1], m[2], m[3]});
+      float run = INF;
+      for (int c = 0; c < 4; ++c) {
+        run = std::min(run, m[c]);
+        F[n][c] = run;
+      }
+    }
+  }
+
+  int find_t(int n, int cutsize) const {  // bvh4.rs:189-204
+    if (nodes[n].leaf()) return 1;
+    int best_t = 1;
+    float best = memo[n][0];
+    for (int t = 2; t <= cutsize; ++t)
+      if (memo[n][t - 1] < best) { best = memo[n][t - 1]; best_t = t; }
+    return best_t;
+  }
+
+  float flat_cost(int n, int c) const {
+    return nodes[n].leaf() ? 1.f : F[n][c - 1];
+  }
+
+  int find_i(int l, int r, int t) const {  // bvh4.rs:207-224
+    int best_i = 1;
+    float best = flat_cost(l, 1) + flat_cost(r, t - 1);
+    for (int i = 2; i < t; ++i) {
+      float v = flat_cost(l, i) + flat_cost(r, t - i);
+      if (v < best) { best = v; best_i = i; }
+    }
+    return best_i;
+  }
+
+  // Write `kids` into slot; returns false when out of node budget.
+  void fill_slot(int slot, const std::vector<Cut>& kids) {
     float* b = bounds4 + slot * 24;
     int32_t* ch = child4 + slot * 4;
     for (int i = 0; i < 4; ++i) ch[i] = EMPTY;
     std::memset(b, 0, 24 * sizeof(float));
-
-    int kids[4];
-    int nk = 0;
-    kids[nk++] = nodes[ni].left;
-    kids[nk++] = nodes[ni].left + 1;
-    while (nk < 4) {
-      int best = -1;
-      float best_sa = -1.f;
-      for (int i = 0; i < nk; ++i) {
-        const Node2& k = nodes[kids[i]];
-        if (!k.leaf()) {
-          float sa = surface(k.lo, k.hi);
-          if (sa > best_sa) { best_sa = sa; best = i; }
-        }
-      }
-      if (best < 0) break;
-      int expand = kids[best];
-      kids[best] = nodes[expand].left;
-      kids[nk++] = nodes[expand].left + 1;
+    for (size_t i = 0; i < kids.size(); ++i) {
+      std::memcpy(b + i * 6, kids[i].lo, 3 * sizeof(float));
+      std::memcpy(b + i * 6 + 3, kids[i].hi, 3 * sizeof(float));
+      ch[i] = kids[i].entry;
     }
+  }
 
-    for (int i = 0; i < nk; ++i) {
-      const Node2& k = nodes[kids[i]];
-      std::memcpy(b + i * 6, k.lo, 3 * sizeof(float));
-      std::memcpy(b + i * 6 + 3, k.hi, 3 * sizeof(float));
-      if (k.leaf()) {
-        ch[i] = (int32_t)(-(k.first * COUNT_BITS + k.count + 1));
-      } else {
-        int sub = emit(kids[i]);
-        if (sub < 0) return sub;
-        ch[i] = sub;
-      }
+  static void hull(const std::vector<Cut>& kids, float* lo, float* hi) {
+    for (int k = 0; k < 3; ++k) {
+      lo[k] = std::numeric_limits<float>::infinity();
+      hi[k] = -std::numeric_limits<float>::infinity();
     }
-    return slot;
+    for (const Cut& c : kids)
+      for (int k = 0; k < 3; ++k) {
+        lo[k] = std::min(lo[k], c.lo[k]);
+        hi[k] = std::max(hi[k], c.hi[k]);
+      }
+  }
+
+  // The BVH4 replacement of BVH2 node n (bvh4.rs:127-185).
+  bool collapse(int n, int cutsize, std::vector<Cut>& out) {
+    const Node2& nd = nodes[n];
+    if (nd.leaf()) {
+      Cut c;
+      std::memcpy(c.lo, nd.lo, 3 * sizeof(float));
+      std::memcpy(c.hi, nd.hi, 3 * sizeof(float));
+      c.entry = (int32_t)(-(nd.first * COUNT_BITS + nd.count + 1));
+      out.push_back(c);
+      return true;
+    }
+    int l = nd.left, r = nd.left + 1;
+    int t = find_t(n, cutsize);
+    if (t == 1) {  // keep the node
+      int slot = count++;
+      if (count > max_nodes) return false;
+      int i = find_i(l, r, 4);
+      std::vector<Cut> kids;
+      if (!collapse(l, i, kids) || !collapse(r, 4 - i, kids)) return false;
+      fill_slot(slot, kids);
+      Cut c;
+      hull(kids, c.lo, c.hi);
+      c.entry = slot;
+      out.push_back(c);
+      return true;
+    }
+    int i = find_i(l, r, t);
+    return collapse(l, i, out) && collapse(r, t - i, out);
+  }
+
+  // Slot 0 is always the root; a dissolving root's cut becomes the
+  // root's children (the reference's placeholder rebuild, bvh4.rs:48-66).
+  int run() {
+    fill_memo();
+    if (max_nodes < 1) return -2;
+    count = 1;
+    int l = nodes[0].left, r = nodes[0].left + 1;
+    int t = find_t(0, 4);
+    int tt = (t == 1) ? 4 : t;
+    int i = find_i(l, r, tt);
+    std::vector<Cut> kids;
+    if (!collapse(l, i, kids) || !collapse(r, tt - i, kids)) return -2;
+    fill_slot(0, kids);
+    return count;
   }
 };
 
@@ -285,8 +381,8 @@ int64_t bvh_build(const float* lo, const float* hi, int64_t n, int num_bins,
   }
 
   Collapser c{b.nodes, bounds4, child4, (int)max_nodes};
-  int root = c.emit(0);
-  if (root < 0) return root;
+  int res = c.run();
+  if (res < 0) return res;
   return c.count;
 }
 

@@ -95,3 +95,34 @@ def test_bvh_cost_counter_nonzero():
     d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     _, _, _, cost = trace.trace_scene(prep, scene, o, d)
     assert int(cost[0]) > 0
+
+
+def test_bvh4_dp_collapse_beats_greedy():
+    """The DP collapse (``bvh4.rs:244-281`` exactly) must verify and
+    never need more 4-wide nodes (= per-visit AABB tests) than the
+    greedy surface-area expansion it replaced."""
+    tris = _tri_soup(3000, seed=7)
+    lo, hi = _aabbs(tris)
+    nodes, order = bvh.build_bvh2(lo, hi)
+    b_dp, ch_dp = bvh.collapse_bvh4(nodes)
+    b_gr, ch_gr = bvh.collapse_bvh4_greedy(nodes)
+    assert bvh.verify(b_dp, ch_dp, order, lo, hi)
+    assert bvh.verify(b_gr, ch_gr, order, lo, hi)
+    assert ch_dp.shape[0] <= ch_gr.shape[0]
+
+
+def test_bvh4_dp_native_matches_python_node_count():
+    """The C++ builder implements the same DP; leaf order may differ
+    (unstable partition) but the collapse quality must match."""
+    try:
+        from wasm_pathtracer_tpu.ops import bvh_native
+        tris = _tri_soup(2500, seed=9)
+        lo, hi = _aabbs(tris)
+        b_n, ch_n, ord_n = bvh_native.build(lo, hi)
+    except Exception:
+        import pytest
+        pytest.skip("native builder unavailable")
+    assert bvh.verify(b_n, ch_n, ord_n, lo, hi)
+    nodes, _ = bvh.build_bvh2(lo, hi)
+    _, ch_p = bvh.collapse_bvh4(nodes)
+    assert ch_n.shape[0] == ch_p.shape[0]

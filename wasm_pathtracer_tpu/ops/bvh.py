@@ -164,14 +164,147 @@ def build_bvh2(lo: np.ndarray, hi: np.ndarray, num_bins: int = 16,
     return nodes, np.array(out_order, np.int64)
 
 
-def collapse_bvh4(nodes: list[BVH2Node]):
-    """Collapse BVH2 -> 4-wide flat arrays.
+def _rcost_memo(nodes: list[BVH2Node]):
+    """Pinto's adaptive-collapse DP table (``bvh4.rs:244-281``).
 
-    The reference computes the optimal collapse by DP on tree cuts
-    (``bvh4.rs:244-281``); here the standard greedy variant — repeatedly
-    expand the internal child with the largest surface area until a node
-    has 4 children — which yields the same quality within a few percent
-    at a fraction of the build cost.
+    For every internal BVH2 node ``n``, ``memo[n, t-1]`` is the minimal
+    traversal cost of replacing ``n``'s subtree with a tree-cut of
+    exactly ``t`` roots (t = 2..4), and ``memo[n, 0]`` is the cost of
+    keeping ``n`` as one 4-wide node (one AABB test + its best <=4-cut
+    of children).  ``F[n, c-1] = min(memo[n, :c])`` is the reference's
+    ``node_flat_cost`` / ``r_cost(n, c)``; leaves cost 1 for every cut
+    size (``bvh4.rs:246-252``).
+
+    Computed with an iterative post-order walk (the reference recurses;
+    meshes here can be deep enough to blow Python's stack).
+    """
+    N = len(nodes)
+    memo = np.full((N, 4), np.inf, np.float64)
+    F = np.ones((N, 4), np.float64)          # leaf default: cost 1 at any cut
+    stack = [(0, False)]
+    while stack:
+        n, ready = stack.pop()
+        nd = nodes[n]
+        if nd.is_leaf:
+            continue
+        l, r = nd.left, nd.left + 1
+        if not ready:
+            stack.append((n, True))
+            stack.append((l, False))
+            stack.append((r, False))
+            continue
+        m = memo[n]
+        for t in range(2, 5):
+            best = np.inf
+            for i in range(1, t):
+                v = F[l, i - 1] + F[r, t - i - 1]
+                if v < best:
+                    best = v
+            m[t - 1] = best
+        m[0] = 1.0 + m[1:].min()
+        F[n] = np.minimum.accumulate(m)
+    return memo, F
+
+
+def collapse_bvh4(nodes: list[BVH2Node]):
+    """Collapse BVH2 -> 4-wide flat arrays, DP-optimally.
+
+    Pinto's "Adaptive Collapsing" exactly as the reference implements it
+    (``bvh4.rs:244-281`` cost DP, ``bvh4.rs:127-185`` backtracking):
+    each internal node either *keeps* itself (one 4-wide AABB test, its
+    children taken from the best <=4 tree-cut below it) or *dissolves*
+    into a cut of 2..4 subtree roots hoisted into its parent.  The DP
+    minimizes total AABB tests over the whole tree; ties break toward
+    the smallest cut, matching the reference's strict-< argmin
+    (``bvh4.rs:192-201``).
+
+    Returns (child_bounds (M, 4, 6) f32, children (M, 4) int32).
+    """
+    if nodes[0].is_leaf:
+        # tiny scene: one pseudo-root whose single child is the leaf
+        b = np.zeros((1, 4, 6), np.float32)
+        ch = np.full((1, 4), EMPTY, np.int32)
+        b[0, 0, 0:3] = nodes[0].lo
+        b[0, 0, 3:6] = nodes[0].hi
+        ch[0, 0] = encode_leaf(nodes[0].first, nodes[0].count)
+        return b, ch
+
+    memo, F = _rcost_memo(nodes)
+    out_bounds: list[np.ndarray] = []
+    out_child: list[np.ndarray] = []
+
+    def find_t(n: int, cutsize: int) -> int:
+        # ``bvh4.rs:189-204``: smallest t minimizing memo[n, :cutsize]
+        if nodes[n].is_leaf:
+            return 1
+        return int(np.argmin(memo[n, :cutsize])) + 1
+
+    def flat_cost(n: int, c: int) -> float:
+        return 1.0 if nodes[n].is_leaf else F[n, c - 1]
+
+    def find_i(l: int, r: int, t: int) -> int:
+        # ``bvh4.rs:207-224``: split the cut between the two children
+        best_i, best = 1, flat_cost(l, 1) + flat_cost(r, t - 1)
+        for i in range(2, t):
+            v = flat_cost(l, i) + flat_cost(r, t - i)
+            if v < best:
+                best, best_i = v, i
+        return best_i
+
+    def fill(slot: int, kids: list) -> tuple[np.ndarray, np.ndarray]:
+        for j, (klo, khi, ent) in enumerate(kids):
+            out_bounds[slot][j, 0:3] = klo
+            out_bounds[slot][j, 3:6] = khi
+            out_child[slot][j] = ent
+        hull_lo = np.min([k[0] for k in kids], axis=0)
+        hull_hi = np.max([k[1] for k in kids], axis=0)
+        return hull_lo, hull_hi
+
+    def collapse(n: int, cutsize: int) -> list:
+        """Returns the cut as [(lo, hi, child_entry)] — the BVH4
+        replacement of BVH2 node ``n`` (``bvh4.rs:127-185``)."""
+        nd = nodes[n]
+        if nd.is_leaf:
+            return [(nd.lo, nd.hi, encode_leaf(nd.first, nd.count))]
+        l, r = nd.left, nd.left + 1
+        t = find_t(n, cutsize)
+        if t == 1:
+            # keep the node: allocate a BVH4 slot, give it the best 4-cut
+            slot = len(out_bounds)
+            out_bounds.append(np.zeros((4, 6), np.float32))
+            out_child.append(np.full((4,), EMPTY, np.int32))
+            i = find_i(l, r, 4)
+            kids = collapse(l, i) + collapse(r, 4 - i)
+            hull_lo, hull_hi = fill(slot, kids)
+            return [(hull_lo, hull_hi, slot)]
+        # dissolve the node into its t-cut
+        i = find_i(l, r, t)
+        return collapse(l, i) + collapse(r, t - i)
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000 + len(nodes)))
+    try:
+        # slot 0 is always the root node; when the root's optimal choice
+        # is to dissolve, its cut becomes the root's children (the
+        # reference's placeholder rebuild, ``bvh4.rs:48-66``)
+        out_bounds.append(np.zeros((4, 6), np.float32))
+        out_child.append(np.full((4,), EMPTY, np.int32))
+        l, r = nodes[0].left, nodes[0].left + 1
+        t = find_t(0, 4)
+        tt = 4 if t == 1 else t
+        i = find_i(l, r, tt)
+        kids = collapse(l, i) + collapse(r, tt - i)
+        fill(0, kids)
+    finally:
+        sys.setrecursionlimit(old)
+    return np.stack(out_bounds), np.stack(out_child)
+
+
+def collapse_bvh4_greedy(nodes: list[BVH2Node]):
+    """Greedy 2->4 collapse (largest-surface-area expansion) — kept as
+    the comparison baseline for the DP collapse and as the algorithm
+    mirrored by the native builder's fast path.
 
     Returns (child_bounds (M, 4, 6) f32, children (M, 4) int32).
     """
