@@ -28,7 +28,9 @@ def main():
     from wasm_pathtracer_tpu.ops import integrator, trace
 
     scene = scenes.museum()
-    prep = trace.prepare(scene)
+    # fused whole-scene Pallas megakernel (ops/scene_pallas.py): the
+    # forward-only fast path; falls back to XLA dense off-TPU
+    prep = trace.prepare(scene, use_fused=jax.default_backend() != "cpu")
     settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
                               max_bounces=8)
     camera = initial_camera(0)
@@ -49,10 +51,13 @@ def main():
 
     n_iters = 20
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(1, n_iters + 1):
-        acc += float(step(jnp.uint32(i)))
+    # dispatch all steps asynchronously, sync once: a per-iteration
+    # float() readback serializes host<->device and costs ~2x throughput
+    outs = [step(jnp.uint32(i)) for i in range(1, n_iters + 1)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    acc = sum(float(x) for x in outs)
+    assert np.isfinite(acc)
 
     rays_per_sec = n_iters * B / dt
     baseline = 1.0e4  # reference worker initial auto-tune rate (see above)

@@ -62,6 +62,10 @@ class ScenePrep:
     # route the triangle sweep through the streaming dense Pallas kernel
     # (ops.traverse_pallas) instead of BVH traversal / XLA dense
     use_pallas: bool = _field(metadata=dict(static=True), default=False)
+    # route the WHOLE scene test through the fused Pallas megakernel
+    # (ops.scene_pallas) — forward-only (Pallas is not differentiable);
+    # ignored when a cluster/BVH structure is attached
+    use_fused: bool = _field(metadata=dict(static=True), default=False)
 
     @property
     def has_bvh(self) -> bool:
@@ -69,7 +73,7 @@ class ScenePrep:
 
 
 def prepare(scene: SceneData, tri_chunk: int = 2048,
-            use_pallas: bool = False) -> ScenePrep:
+            use_pallas: bool = False, use_fused: bool = False) -> ScenePrep:
     """Host-side split of the shape table into per-type index sets."""
     ptype = np.asarray(scene.ptype)
 
@@ -85,6 +89,7 @@ def prepare(scene: SceneData, tri_chunk: int = 2048,
         idx_square=idx(PrimType.SQUARE),
         tri_chunk=tri_chunk,
         use_pallas=use_pallas,
+        use_fused=use_fused,
     )
 
 
@@ -106,6 +111,11 @@ def trace_scene(prep: ScenePrep, scene: SceneData, o, d):
     primitive/node tests per ray, the analog of the reference's BVH-visit
     counter (``scene.rs:137-144``).
     """
+    if prep.use_fused and prep.cluster is None and not prep.has_bvh:
+        # fused whole-scene Pallas megakernel (forward-only fast path)
+        from wasm_pathtracer_tpu.ops import scene_pallas
+        return scene_pallas.trace_scene_fused(prep, scene, o, d)
+
     R = o.shape[0]
     best_t = jnp.full((R,), jnp.inf, jnp.float32)
     best_id = jnp.full((R,), -1, jnp.int32)

@@ -132,6 +132,10 @@ def main(argv=None):
         return
 
     drv = Driver(sess)
+    if args.bench:
+        # warm the jit caches (both halves + photon emission) so the
+        # reported rate is steady-state, not first-compile latency
+        sess.compute(2)
     t0 = time.perf_counter()
     if args.ticks is not None:
         sess.compute(args.ticks)

@@ -245,7 +245,12 @@ class Session:
 
     # -- plumbing ----------------------------------------------------------
     def _prepare(self, scene: SceneData) -> trace.ScenePrep:
-        prep = trace.prepare(scene)
+        import jax
+        # fused whole-scene Pallas megakernel for forward rendering on
+        # TPU (ops/scene_pallas.py); the XLA paths remain the portable
+        # and differentiable route (and the only one off-TPU)
+        prep = trace.prepare(scene,
+                             use_fused=jax.default_backend() != "cpu")
         n_tri = prep.idx_triangle.shape[0]
         want_accel = (self.use_bvh if self.use_bvh is not None
                       else n_tri >= RenderSettings().bvh_min_triangles)
