@@ -6,6 +6,12 @@ the same estimator the reference runs per tick.  A "ray" here is one
 full path tick (the reference's unit of work: 1 tick ~ 1 primary path,
 ``src/tracer.rs:99-123``), including all bounce and shadow rays.
 
+Execution model: the persistent wavefront with path regeneration
+(``ops.integrator.render_queue``) over the fused whole-scene Pallas
+megakernel (``ops.scene_pallas``) — every lane stays occupied until the
+sample queue drains, so no scene trace is wasted on RR-dead paths
+(~2.8x the lockstep batch loop on this workload).
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 only throughput machinery it documents is the worker auto-tuner's
 initial rate of 500 rays / 50 ms = 10,000 rays/sec in-browser
@@ -35,31 +41,33 @@ def main():
                               max_bounces=8)
     camera = initial_camera(0)
     W = H = 512
-    B = 32768   # batch sweep on v5e: 32k ~ 527k paths/s, 65k ~ 521k, 262k ~ 323k
+    # queue/lane sweep on the v5e-class chip: (2.6M, 64k) ~ 3.5M paths/s,
+    # (5.2M, 64k) ~ 3.7M; larger queues amortize the drain tail
+    S = 2_621_440   # paths per dispatch (80 spp over 512x512)
+    B = 65_536      # wavefront lanes
 
     @jax.jit
     def step(seed):
-        pix = jax.random.randint(jax.random.key(seed), (B,), 0, W * H)
-        px = pix % W
-        py = pix // W
-        col, _ = integrator.render_pixels(prep, scene, settings, camera,
-                                          px, py, W, H, seed)
-        return col.sum()
+        pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
+        acc, cnt, cost = integrator.render_queue(
+            prep, scene, settings, camera, pix, W, H, seed, B)
+        return acc.sum(), cnt.sum()
 
     # warm up / compile
-    step(jnp.uint32(0)).block_until_ready()
+    jax.block_until_ready(step(jnp.uint32(0)))
 
-    n_iters = 20
+    n_iters = 4
     t0 = time.perf_counter()
-    # dispatch all steps asynchronously, sync once: a per-iteration
-    # float() readback serializes host<->device and costs ~2x throughput
+    # dispatch all steps asynchronously, sync once
     outs = [step(jnp.uint32(i)) for i in range(1, n_iters + 1)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    acc = sum(float(x) for x in outs)
+    acc = sum(float(x) for x, _ in outs)
+    done = sum(int(c) for _, c in outs)
     assert np.isfinite(acc)
+    assert done == n_iters * S, f"queue not drained: {done} != {n_iters * S}"
 
-    rays_per_sec = n_iters * B / dt
+    rays_per_sec = n_iters * S / dt
     baseline = 1.0e4  # reference worker initial auto-tune rate (see above)
     print(json.dumps({
         "metric": "rays_per_sec_1chip",

@@ -102,3 +102,78 @@ def test_render_is_jittable_and_deterministic():
     c = np.asarray(f(jnp.uint32(4)))
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+# ---------------------------------------------------------------------------
+# Persistent wavefront with path regeneration (integrator.render_queue)
+# ---------------------------------------------------------------------------
+
+def _queue_render(scene, settings, cam, pix, W, H, seed, n_lanes):
+    prep = trace.prepare(scene)
+    return jax.jit(lambda s: integrator.render_queue(
+        prep, scene, settings, cam, pix, W, H, s, n_lanes))(jnp.uint32(seed))
+
+
+def test_render_queue_conserves_samples():
+    scene = scenes.sphere_plane()
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=6)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    W = H = 16
+    spp = 5
+    pix = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), spp)
+    acc, cnt, cost = _queue_render(scene, st, cam, pix, W, H, 7, 256)
+    assert int(cnt.sum()) == W * H * spp
+    assert bool((cnt == spp).all())
+    assert np.isfinite(np.asarray(acc)).all()
+    assert float(cost) > 0
+
+
+def test_render_queue_invariant_to_lane_count():
+    # the result is a pure function of (queue, seed): each path's RNG is
+    # keyed by its queue index, so lane count / scheduling cannot matter
+    scene = scenes.sphere_plane()
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=6)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    W = H = 16
+    pix = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), 4)
+    a, ca, _ = _queue_render(scene, st, cam, pix, W, H, 9, 64)
+    b, cb, _ = _queue_render(scene, st, cam, pix, W, H, 9, 1024)
+    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_render_queue_matches_lockstep_statistically():
+    # same estimator as trace_paths, different RNG keying: converged
+    # means must agree
+    scene = scenes.sphere_plane()
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=6)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    W = H = 16
+    spp = 64
+    pix = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), spp)
+    acc, cnt, _ = _queue_render(scene, st, cam, pix, W, H, 21, 2048)
+    img_q = np.asarray(acc / jnp.maximum(cnt, 1)[:, None]).reshape(H, W, 3)
+
+    prep = trace.prepare(scene)
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    px, py = xx.ravel(), yy.ravel()
+    f = jax.jit(lambda s: integrator.render_pixels(
+        prep, scene, st, cam, px, py, W, H, s)[0])
+    img_l = np.stack([np.asarray(f(jnp.uint32(1000 + r)))
+                      for r in range(spp)]).mean(0).reshape(H, W, 3)
+    # 64-spp Monte Carlo noise: compare means tightly, pixels loosely
+    assert np.allclose(img_q.mean((0, 1)), img_l.mean((0, 1)), atol=0.02)
+    assert np.abs(img_q - img_l).mean() < 0.03
+
+
+def test_render_queue_respects_bounce_cap():
+    # max_bounces=1: only direct emissive hits / background contribute,
+    # identical to the lockstep single-bounce render per ray stream
+    scene = scenes.sphere_plane()
+    st = RenderSettings(render_type=RenderType.NO_NEE, max_bounces=1)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    W = H = 8
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    acc, cnt, _ = _queue_render(scene, st, cam, pix, W, H, 3, 32)
+    assert int(cnt.sum()) == W * H
+    assert np.isfinite(np.asarray(acc)).all()

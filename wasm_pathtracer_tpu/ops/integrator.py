@@ -24,6 +24,22 @@ branches of the same loop.
 Randomness is counter-based: every draw is ``uniform*(seed, ray_id,
 slot)`` with one slot per (bounce, purpose) — no mutable RNG state, no
 cross-lane coupling, reproducible under any sharding.
+
+Two drivers share the per-bounce body ``_bounce_step``:
+
+- :func:`trace_paths` — fixed batch, all lanes start at bounce 0 and
+  the batch advances in lockstep (scan for gradients, while_loop with
+  batch early-exit for forward).
+- :func:`render_queue` — **persistent wavefront with path
+  regeneration**: Russian roulette kills most paths within 2-3 bounces
+  (measured museum occupancy: 1.0, 0.52, 0.16, 0.09, ... per bounce),
+  so a lockstep loop wastes ~75% of its scene traces on dead lanes.
+  Here a lane whose path terminates immediately splats its radiance
+  into the frame accumulator and pulls the next sample off a pixel
+  queue, keeping every lane of the fused megakernel live until the
+  queue drains.  This is the TPU analog of the reference's per-ray
+  early return (``tracer.rs:237``): the hardware never idles on a
+  finished path.
 """
 
 from __future__ import annotations
@@ -86,6 +102,186 @@ def _schlick(cos_i, n1, n2):
     return r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
 
 
+def _light_table(scene: SceneData):
+    """Area-light rows/intensities, gathered per call so gradients reach
+    the scene params (``scene.rs:47-66`` registers emissive shapes)."""
+    lrows = scene.params[scene.light_shape]          # (L, 9)
+    lint = scene.emission[scene.light_shape]         # (L, 3)
+    return lrows, lint, max(scene.num_lights, 1)
+
+
+def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
+                 settings: RenderSettings, light_tab, photon_grid,
+                 o, d, throughput, color, alive, hdb, absorb,
+                 slot0, ray_id, seed):
+    """One wavefront bounce over a ray batch (the shared body).
+
+    ``slot0`` is the RNG slot base — a scalar ``b * _SLOTS_PER_BOUNCE``
+    under :func:`trace_paths`'s lockstep loop, or a per-lane vector
+    under :func:`render_queue` where lanes sit at different depths.
+
+    Returns the updated ``(o, d, throughput, color, alive, hdb,
+    absorb)`` carry plus this step's per-lane test count (already
+    masked by ``alive``).
+    """
+    R = o.shape[0]
+    has_nee = settings.has_nee
+    use_pnee = settings.render_type == RenderType.PNEE and photon_grid is not None
+    eps = settings.epsilon
+    lrows, lint, n_lights = light_tab
+
+    t, sid, hit, c = tr.trace_scene(prep, scene, o, d)
+    step_cost = jnp.where(alive, c, 0)
+    sid_c = jnp.maximum(sid, 0)
+    # t is +inf on miss; every downstream use takes the sanitized
+    # value so no inf/NaN ever enters a masked lane (masked NaNs
+    # poison gradients through the 0 * NaN VJP of jnp.where)
+    t_safe = jnp.where(hit, t, 1.0)
+    info = tr.hit_info(scene, o, d, t_safe, sid_c)
+
+    # Beer-Lambert absorption through the current medium
+    # (restored refract capability; no-op when absorb == 0)
+    seg = jnp.where(hit, t, 0.0)
+    throughput = throughput * jnp.exp(-absorb * seg[..., None])
+
+    hit_point = o + d * t_safe[..., None]
+    kind = info["kind"]
+    n = info["n"]
+
+    is_emissive = kind == int(MatKind.EMISSIVE)
+    is_refract = kind == int(MatKind.REFRACT)
+    is_reflect = kind == int(MatKind.REFLECT)
+
+    # --- miss: background, path dies (``tracer.rs:325-328``) ---------
+    miss = alive & ~hit
+    color = color + jnp.where(miss[..., None],
+                              throughput * scene.background[None, :], 0.0)
+
+    # --- emissive hit (``tracer.rs:244-254``) -------------------------
+    emis_hit = alive & hit & is_emissive
+    if settings.is_debug_photons or has_nee:
+        add_emis = emis_hit & ~hdb
+    else:
+        add_emis = emis_hit
+    color = color + jnp.where(add_emis[..., None],
+                              throughput * info["emission"], 0.0)
+
+    # --- scatter (non-emissive hits) ----------------------------------
+    scat = alive & hit & ~is_emissive
+    wo = -d
+
+    r1, r2, _ = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_HEMI)
+    um, ur, _ = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_MAT)
+
+    # diffuse branch (``tracer.rs:256-263``)
+    wi_d, pdf_d = sample_cosine_hemisphere(n, r1, r2)
+    cos_d = vm.dot(wi_d, n)
+    f_d = info["albedo"] / jnp.pi
+    contrib_d = f_d * (cos_d / jnp.maximum(pdf_d, 1e-12))[..., None]
+
+    # mirror branch
+    wi_m = vm.reflect(wo, n)
+    contrib_m = info["albedo"]
+
+    # refract branch: Fresnel-weighted reflect/transmit + Beer
+    ent = info["is_entering"]
+    ior = info["extra"][:, EXTRA_IOR]
+    n1 = jnp.where(ent, 1.0, ior)
+    n2 = jnp.where(ent, ior, 1.0)
+    eta = n1 / jnp.maximum(n2, 1e-12)
+    cos_i = jnp.clip(-vm.dot(d, n), 0.0, 1.0)
+    wi_t, tir = _refract_dir(d, n, eta)
+    fres = jnp.where(tir, 1.0, _schlick(cos_i, n1, n2))
+    take_refl_r = ur < fres
+    wi_r = jnp.where(take_refl_r[..., None], wi_m, wi_t)
+    contrib_r = jnp.ones_like(contrib_m)   # energy split by the sampling
+
+    # choose branch per material kind
+    mirror_now = (is_reflect & (um < info["extra"][:, EXTRA_REFLECTIVITY]))
+    specular = mirror_now | is_refract
+    wi = jnp.where(is_refract[..., None], wi_r,
+                   jnp.where(mirror_now[..., None], wi_m, wi_d))
+    contrib = jnp.where(is_refract[..., None], contrib_r,
+                        jnp.where(mirror_now[..., None], contrib_m,
+                                  contrib_d))
+
+    new_tp = throughput * contrib
+    # medium tracking for refraction
+    absorb_in = info["extra"][:, EXTRA_ABSORB_R:EXTRA_ABSORB_B + 1]
+    entering_medium = is_refract & ~take_refl_r & ent
+    exiting_medium = is_refract & ~take_refl_r & ~ent
+    new_absorb = jnp.where(entering_medium[..., None], absorb_in,
+                           jnp.where(exiting_medium[..., None], 0.0, absorb))
+
+    diffuse_now = scat & ~specular
+    new_hdb = hdb | diffuse_now
+
+    # --- NEE from diffuse scatters (``tracer.rs:267-313``) ------------
+    if has_nee and scene.num_lights > 0:
+        u_pick = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_PICK)
+        if use_pnee:
+            from wasm_pathtracer_tpu.ops import photon as ph
+            lid, light_chance = ph.sample(photon_grid, hit_point, seed,
+                                          ray_id, slot0 + _SLOT_PNEE)
+        else:
+            lid = jnp.minimum((u_pick[0] * n_lights).astype(jnp.int32),
+                              n_lights - 1)
+            light_chance = jnp.full((R,), 1.0 / n_lights, jnp.float32)
+
+        lv = lrows[lid]                           # (R, 9)
+        l0, l1, l2 = lv[:, 0:3], lv[:, 3:6], lv[:, 6:9]
+        s1, s2, s3 = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_POINT)
+        p_l, n_l = isx.triangle_pick_random(l0, l1, l2, s1, s2, s3)
+        intensity = lint[lid]
+
+        to_l = p_l - hit_point
+        dis_sq = jnp.maximum(vm.length_sq(to_l), 1e-12)
+        to_l = to_l / jnp.sqrt(dis_sq)[..., None]
+        cos_i_l = vm.dot(to_l, n)
+        cos_o_l = vm.dot(-to_l, n_l)
+        front = (cos_i_l > 0.0) & (cos_o_l > 0.0)
+
+        nee_mask = diffuse_now & front
+        if settings.is_debug_photons:
+            # light-selection debug render (``tracer.rs:297-299``)
+            color = color + jnp.where(nee_mask[..., None],
+                                      new_tp * intensity, 0.0)
+        else:
+            light_sid = scene.light_shape[lid]
+            occluded, sc = tr.shadow_ray(prep, scene, hit_point, p_l,
+                                         light_sid, eps)
+            step_cost = step_cost + jnp.where(nee_mask, sc, 0)
+            area = isx.triangle_area(l0, l1, l2)
+            solid_angle = area * cos_o_l / dis_sq
+            w = solid_angle * cos_i_l / jnp.maximum(light_chance, 1e-12)
+            add = nee_mask & ~occluded
+            # double-where: zero w on masked lanes BEFORE the
+            # multiply so the VJP never sees 0 * non-finite
+            w = jnp.where(add, w, 0.0)
+            color = color + jnp.where(add[..., None],
+                                      new_tp * intensity * w[..., None],
+                                      0.0)
+
+    # --- Russian roulette (``tracer.rs:317-324``) ----------------------
+    u_rr = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_RR)[0]
+    keep = jnp.clip(jnp.max(new_tp, axis=-1),
+                    settings.rr_clamp_min, settings.rr_clamp_max)
+    survive = u_rr < keep
+    new_tp = new_tp / keep[..., None]
+
+    new_alive = scat & survive
+    o2 = hit_point + wi * eps
+    # keep rays unchanged on dead lanes (their values are masked anyway)
+    o = jnp.where(scat[..., None], o2, o)
+    d = jnp.where(scat[..., None], wi, d)
+    throughput = jnp.where(scat[..., None], new_tp, throughput)
+    absorb = jnp.where(scat[..., None], new_absorb, absorb)
+    hdb = jnp.where(scat, new_hdb, hdb)
+    alive = new_alive
+
+    return (o, d, throughput, color, alive, hdb, absorb), step_cost
+
+
 def trace_paths(prep: tr.ScenePrep, scene: SceneData,
                 settings: RenderSettings, o, d, ray_id, seed,
                 photon_grid=None):
@@ -100,168 +296,16 @@ def trace_paths(prep: tr.ScenePrep, scene: SceneData,
     Returns (color (R,3), cost (R,) int32 primitive/node tests).
     """
     R = o.shape[0]
-    has_nee = settings.has_nee
-    use_pnee = settings.render_type == RenderType.PNEE and photon_grid is not None
-    eps = settings.epsilon
-
-    # area-light table (gathered each call so gradients reach the scene)
-    lrows = scene.params[scene.light_shape]          # (L, 9)
-    lint = scene.emission[scene.light_shape]         # (L, 3)
-    n_lights = max(scene.num_lights, 1)
+    light_tab = _light_table(scene)
 
     def bounce(carry, b):
         o, d, throughput, color, alive, hdb, absorb, cost = carry
         slot0 = b * _SLOTS_PER_BOUNCE
-
-        t, sid, hit, c = tr.trace_scene(prep, scene, o, d)
-        cost = cost + jnp.where(alive, c, 0)
-        sid_c = jnp.maximum(sid, 0)
-        # t is +inf on miss; every downstream use takes the sanitized
-        # value so no inf/NaN ever enters a masked lane (masked NaNs
-        # poison gradients through the 0 * NaN VJP of jnp.where)
-        t_safe = jnp.where(hit, t, 1.0)
-        info = tr.hit_info(scene, o, d, t_safe, sid_c)
-
-        # Beer-Lambert absorption through the current medium
-        # (restored refract capability; no-op when absorb == 0)
-        seg = jnp.where(hit, t, 0.0)
-        throughput = throughput * jnp.exp(-absorb * seg[..., None])
-
-        hit_point = o + d * t_safe[..., None]
-        kind = info["kind"]
-        n = info["n"]
-
-        is_emissive = kind == int(MatKind.EMISSIVE)
-        is_refract = kind == int(MatKind.REFRACT)
-        is_reflect = kind == int(MatKind.REFLECT)
-
-        # --- miss: background, path dies (``tracer.rs:325-328``) ---------
-        miss = alive & ~hit
-        color = color + jnp.where(miss[..., None],
-                                  throughput * scene.background[None, :], 0.0)
-
-        # --- emissive hit (``tracer.rs:244-254``) -------------------------
-        emis_hit = alive & hit & is_emissive
-        if settings.is_debug_photons or has_nee:
-            add_emis = emis_hit & ~hdb
-        else:
-            add_emis = emis_hit
-        color = color + jnp.where(add_emis[..., None],
-                                  throughput * info["emission"], 0.0)
-
-        # --- scatter (non-emissive hits) ----------------------------------
-        scat = alive & hit & ~is_emissive
-        wo = -d
-
-        r1, r2, _ = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_HEMI)
-        um, ur, _ = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_MAT)
-
-        # diffuse branch (``tracer.rs:256-263``)
-        wi_d, pdf_d = sample_cosine_hemisphere(n, r1, r2)
-        cos_d = vm.dot(wi_d, n)
-        f_d = info["albedo"] / jnp.pi
-        contrib_d = f_d * (cos_d / jnp.maximum(pdf_d, 1e-12))[..., None]
-
-        # mirror branch
-        wi_m = vm.reflect(wo, n)
-        contrib_m = info["albedo"]
-
-        # refract branch: Fresnel-weighted reflect/transmit + Beer
-        ent = info["is_entering"]
-        ior = info["extra"][:, EXTRA_IOR]
-        n1 = jnp.where(ent, 1.0, ior)
-        n2 = jnp.where(ent, ior, 1.0)
-        eta = n1 / jnp.maximum(n2, 1e-12)
-        cos_i = jnp.clip(-vm.dot(d, n), 0.0, 1.0)
-        wi_t, tir = _refract_dir(d, n, eta)
-        fres = jnp.where(tir, 1.0, _schlick(cos_i, n1, n2))
-        take_refl_r = ur < fres
-        wi_r = jnp.where(take_refl_r[..., None], wi_m, wi_t)
-        contrib_r = jnp.ones_like(contrib_m)   # energy split by the sampling
-
-        # choose branch per material kind
-        mirror_now = (is_reflect & (um < info["extra"][:, EXTRA_REFLECTIVITY]))
-        specular = mirror_now | is_refract
-        wi = jnp.where(is_refract[..., None], wi_r,
-                       jnp.where(mirror_now[..., None], wi_m, wi_d))
-        contrib = jnp.where(is_refract[..., None], contrib_r,
-                            jnp.where(mirror_now[..., None], contrib_m,
-                                      contrib_d))
-
-        new_tp = throughput * contrib
-        # medium tracking for refraction
-        absorb_in = info["extra"][:, EXTRA_ABSORB_R:EXTRA_ABSORB_B + 1]
-        entering_medium = is_refract & ~take_refl_r & ent
-        exiting_medium = is_refract & ~take_refl_r & ~ent
-        new_absorb = jnp.where(entering_medium[..., None], absorb_in,
-                               jnp.where(exiting_medium[..., None], 0.0, absorb))
-
-        diffuse_now = scat & ~specular
-        new_hdb = hdb | diffuse_now
-
-        # --- NEE from diffuse scatters (``tracer.rs:267-313``) ------------
-        if has_nee and scene.num_lights > 0:
-            u_pick = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_PICK)
-            if use_pnee:
-                from wasm_pathtracer_tpu.ops import photon as ph
-                lid, light_chance = ph.sample(photon_grid, hit_point, seed,
-                                              ray_id, slot0 + _SLOT_PNEE)
-            else:
-                lid = jnp.minimum((u_pick[0] * n_lights).astype(jnp.int32),
-                                  n_lights - 1)
-                light_chance = jnp.full((R,), 1.0 / n_lights, jnp.float32)
-
-            lv = lrows[lid]                           # (R, 9)
-            l0, l1, l2 = lv[:, 0:3], lv[:, 3:6], lv[:, 6:9]
-            s1, s2, s3 = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_POINT)
-            p_l, n_l = isx.triangle_pick_random(l0, l1, l2, s1, s2, s3)
-            intensity = lint[lid]
-
-            to_l = p_l - hit_point
-            dis_sq = jnp.maximum(vm.length_sq(to_l), 1e-12)
-            to_l = to_l / jnp.sqrt(dis_sq)[..., None]
-            cos_i_l = vm.dot(to_l, n)
-            cos_o_l = vm.dot(-to_l, n_l)
-            front = (cos_i_l > 0.0) & (cos_o_l > 0.0)
-
-            nee_mask = diffuse_now & front
-            if settings.is_debug_photons:
-                # light-selection debug render (``tracer.rs:297-299``)
-                color = color + jnp.where(nee_mask[..., None],
-                                          new_tp * intensity, 0.0)
-            else:
-                light_sid = scene.light_shape[lid]
-                occluded, sc = tr.shadow_ray(prep, scene, hit_point, p_l,
-                                             light_sid, eps)
-                cost = cost + jnp.where(nee_mask, sc, 0)
-                area = isx.triangle_area(l0, l1, l2)
-                solid_angle = area * cos_o_l / dis_sq
-                w = solid_angle * cos_i_l / jnp.maximum(light_chance, 1e-12)
-                add = nee_mask & ~occluded
-                # double-where: zero w on masked lanes BEFORE the
-                # multiply so the VJP never sees 0 * non-finite
-                w = jnp.where(add, w, 0.0)
-                color = color + jnp.where(add[..., None],
-                                          new_tp * intensity * w[..., None],
-                                          0.0)
-
-        # --- Russian roulette (``tracer.rs:317-324``) ----------------------
-        u_rr = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_RR)[0]
-        keep = jnp.clip(jnp.max(new_tp, axis=-1),
-                        settings.rr_clamp_min, settings.rr_clamp_max)
-        survive = u_rr < keep
-        new_tp = new_tp / keep[..., None]
-
-        new_alive = scat & survive
-        o2 = hit_point + wi * eps
-        # keep rays unchanged on dead lanes (their values are masked anyway)
-        o = jnp.where(scat[..., None], o2, o)
-        d = jnp.where(scat[..., None], wi, d)
-        throughput = jnp.where(scat[..., None], new_tp, throughput)
-        absorb = jnp.where(scat[..., None], new_absorb, absorb)
-        hdb = jnp.where(scat, new_hdb, hdb)
-        alive = new_alive
-
+        (o, d, throughput, color, alive, hdb, absorb), step_cost = \
+            _bounce_step(prep, scene, settings, light_tab, photon_grid,
+                         o, d, throughput, color, alive, hdb, absorb,
+                         slot0, ray_id, seed)
+        cost = cost + step_cost
         return (o, d, throughput, color, alive, hdb, absorb, cost), None
 
     init = (
@@ -315,6 +359,120 @@ def render_pixels(prep, scene, settings: RenderSettings, camera: Camera,
                         settings.screen_z)
     return trace_paths(prep, scene, settings, o, d, ray_id, seed,
                        photon_grid=photon_grid)
+
+
+def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
+                 pix_queue, width: int, height: int, seed, n_lanes: int,
+                 photon_grid=None):
+    """Persistent wavefront: path-trace every sample in ``pix_queue``.
+
+    Each of ``n_lanes`` SPMD lanes owns one in-flight path; the moment a
+    path terminates (miss / emissive absorption / Russian roulette /
+    bounce cap) the lane splats its radiance into the frame accumulator
+    and **regenerates**: it claims the next queue slot and shoots that
+    pixel's primary ray in the very next iteration.  Every scene trace
+    therefore runs at ~full lane occupancy, vs ~25% for the lockstep
+    batch loop on the museum workload (per-bounce survival 1.0 / 0.52 /
+    0.16 / 0.09 / ...).
+
+    Path ``i``'s random stream is keyed by ``ray_id = i`` (its queue
+    index), so the result is a pure function of (queue, seed) —
+    independent of lane count, iteration order, or device layout.
+
+    Forward-only (uses ``lax.while_loop``); gradient workloads keep
+    :func:`trace_paths` under scan.
+
+    Args:
+      pix_queue: (S,) int32 pixel ids (y * width + x) — the sample list,
+        e.g. from the adaptive sampler or a uniform sweep.
+      n_lanes: wavefront width (static).
+
+    Returns (color_sum (H*W, 3), n_samples (H*W,) int32, cost scalar
+    f64-ish f32 total primitive tests) — accumulate as
+    ``accum.add_many(color_sum, n_samples)``.
+    """
+    S = pix_queue.shape[0]
+    B = n_lanes
+    HW = width * height
+    light_tab = _light_table(scene)
+
+    def gen(sidx):
+        """Primary ray for queue slot ``sidx`` (clamped; masked later)."""
+        pid = pix_queue[jnp.clip(sidx, 0, S - 1)]
+        rid = sidx.astype(jnp.uint32)
+        px = pid % width
+        py = pid // width
+        jx, jy, _ = rnglib.uniform3(seed, rid, SLOT_JITTER)
+        o, d = primary_rays(camera, px, py, jx, jy, width, height,
+                            settings.screen_z)
+        return pid, rid, o, d
+
+    sidx0 = jnp.arange(B, dtype=jnp.int32)
+    pid0, rid0, o0, d0 = gen(sidx0)
+    state = dict(
+        issued=jnp.int32(min(B, S)),
+        o=o0, d=d0,
+        tp=jnp.ones((B, 3), jnp.float32),
+        col=jnp.zeros((B, 3), jnp.float32),
+        alive=sidx0 < S,
+        hdb=jnp.zeros((B,), bool),
+        absorb=jnp.zeros((B, 3), jnp.float32),
+        bounce=jnp.zeros((B,), jnp.uint32),
+        pid=pid0, rid=rid0,
+        accum=jnp.zeros((HW, 3), jnp.float32),
+        counts=jnp.zeros((HW,), jnp.int32),
+        cost=jnp.float32(0.0),
+    )
+
+    def cond(st):
+        return jnp.any(st["alive"])
+
+    def body(st):
+        was = st["alive"]
+        slot0 = st["bounce"] * _SLOTS_PER_BOUNCE
+        (o, d, tp, col, alive, hdb, absorb), step_cost = _bounce_step(
+            prep, scene, settings, light_tab, photon_grid,
+            st["o"], st["d"], st["tp"], st["col"], was, st["hdb"],
+            st["absorb"], slot0, st["rid"], seed)
+        cost = st["cost"] + jnp.sum(step_cost.astype(jnp.float32))
+        bounce = st["bounce"] + jnp.uint32(1)
+
+        # a path is done when it died this step or hit the bounce cap
+        done = was & (~alive | (bounce >= jnp.uint32(settings.max_bounces)))
+        alive = alive & ~done
+
+        # splat finished paths (dead lanes add zeros to pixel st.pid)
+        accum = st["accum"].at[st["pid"]].add(
+            jnp.where(done[:, None], col, 0.0))
+        counts = st["counts"].at[st["pid"]].add(done.astype(jnp.int32))
+
+        # regenerate: finished lanes claim the next queue slots in lane
+        # order (deterministic — a pure function of the done mask)
+        ranks = jnp.cumsum(done.astype(jnp.int32)) - 1
+        new_sidx = st["issued"] + ranks
+        can = done & (new_sidx < S)
+        issued = jnp.minimum(st["issued"] + jnp.sum(done.astype(jnp.int32)),
+                             S)
+        pid_n, rid_n, o_n, d_n = gen(new_sidx)
+
+        canc = can[:, None]
+        return dict(
+            issued=issued,
+            o=jnp.where(canc, o_n, o),
+            d=jnp.where(canc, d_n, d),
+            tp=jnp.where(canc, 1.0, tp),
+            col=jnp.where(canc, 0.0, col),
+            alive=alive | can,
+            hdb=jnp.where(can, False, hdb),
+            absorb=jnp.where(canc, 0.0, absorb),
+            bounce=jnp.where(can, jnp.uint32(0), bounce),
+            pid=jnp.where(can, pid_n, st["pid"]),
+            rid=jnp.where(can, rid_n, st["rid"]),
+            accum=accum, counts=counts, cost=cost,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st["accum"], st["counts"], st["cost"]
 
 
 def trace_depth(prep, scene, o, d):
