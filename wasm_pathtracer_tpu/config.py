@@ -119,6 +119,17 @@ class RenderSettings:
     # keep the (8,128) f32 tile fully occupied.  32k measured best on
     # v5e for the museum workload (527k paths/s).
     ray_batch_size: int = 32768
+    # Persistent wavefront with path regeneration
+    # (``integrator.render_queue``): lanes that finish a path immediately
+    # pull the next sample off the pixel queue, keeping scene traces at
+    # ~full occupancy (~2.7x the lockstep loop on the museum).  Applies
+    # to forward rendering only (needs ``early_exit``-style while_loop);
+    # gradient workloads always take the lockstep scan.
+    use_regen: bool = True
+    # Wavefront width for the regenerating loop; the queue per step is
+    # ``ray_batch_size``, so occupancy stays high while the drain tail
+    # costs ~lanes/batch of a step.
+    regen_lanes: int = 8192
 
     # --- Debug ------------------------------------------------------------
     debug_view: DebugView = DebugView.NONE

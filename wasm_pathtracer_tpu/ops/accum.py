@@ -42,6 +42,17 @@ def write_samples(buf: AccumBuffer, px, py, color) -> AccumBuffer:
     return AccumBuffer(acc=acc, count=count)
 
 
+def write_sums(buf: AccumBuffer, color_sum, counts) -> AccumBuffer:
+    """Add pre-accumulated full-frame sums (from
+    ``integrator.render_queue``): ``color_sum`` (H*W, 3) radiance totals
+    and ``counts`` (H*W,) samples per pixel."""
+    H, W, _ = buf.acc.shape
+    return AccumBuffer(
+        acc=buf.acc + color_sum.reshape(H, W, 3),
+        count=buf.count + counts.reshape(H, W).astype(jnp.float32),
+    )
+
+
 def mean_image(buf: AccumBuffer) -> jax.Array:
     """Average radiance; pixels with zero samples read 0."""
     c = jnp.maximum(buf.count, 1.0)[..., None]

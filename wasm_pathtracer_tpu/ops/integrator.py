@@ -363,7 +363,7 @@ def render_pixels(prep, scene, settings: RenderSettings, camera: Camera,
 
 def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
                  pix_queue, width: int, height: int, seed, n_lanes: int,
-                 photon_grid=None):
+                 photon_grid=None, rid_base=0):
     """Persistent wavefront: path-trace every sample in ``pix_queue``.
 
     Each of ``n_lanes`` SPMD lanes owns one in-flight path; the moment a
@@ -386,6 +386,9 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
       pix_queue: (S,) int32 pixel ids (y * width + x) — the sample list,
         e.g. from the adaptive sampler or a uniform sweep.
       n_lanes: wavefront width (static).
+      rid_base: offset added to the queue index when keying each path's
+        RNG stream — lets concurrent renderers over the same seed (the
+        session's left/right halves) draw decorrelated streams.
 
     Returns (color_sum (H*W, 3), n_samples (H*W,) int32, cost scalar
     f64-ish f32 total primitive tests) — accumulate as
@@ -399,7 +402,7 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
     def gen(sidx):
         """Primary ray for queue slot ``sidx`` (clamped; masked later)."""
         pid = pix_queue[jnp.clip(sidx, 0, S - 1)]
-        rid = sidx.astype(jnp.uint32)
+        rid = jnp.uint32(rid_base) + sidx.astype(jnp.uint32)
         px = pid % width
         py = pid // width
         jx, jy, _ = rnglib.uniform3(seed, rid, SLOT_JITTER)

@@ -109,6 +109,12 @@ class RenderInstance:
             batch = settings.ray_batch_size
             prep = s.prep
             use_photon = settings.render_type == RenderType.PNEE
+            # persistent wavefront with regeneration (forward-only);
+            # rid_base decorrelates the halves' RNG streams (both count
+            # queue slots from 0 under the same per-round seed)
+            use_regen = settings.use_regen and settings.early_exit
+            lanes = min(settings.regen_lanes, batch)
+            rid_base = (0x40000000 if self.x0 > 0 or self.y0 > 0 else 0)
 
             # donate the accumulator: it is rebound to the result each
             # step, so the scatter-add updates in place
@@ -122,9 +128,17 @@ class RenderInstance:
                 else:
                     px, py = adaptive.random_pixels(batch, seed, x0, y0, w, h)
                     density = jnp.zeros((h, w), jnp.float32)
+                pg = photon_grid if use_photon else None
+                if use_regen:
+                    pix = (py * W + px).astype(jnp.int32)
+                    acc_s, cnt_s, cost = integrator.render_queue(
+                        prep, scene, settings, camera, pix, W, H, seed,
+                        lanes, photon_grid=pg, rid_base=rid_base)
+                    buf = accum.write_sums(buf, acc_s, cnt_s)
+                    return buf, density, cost
                 col, cost = integrator.render_pixels(
                     prep, scene, settings, camera, px, py, W, H, seed,
-                    photon_grid=photon_grid if use_photon else None)
+                    photon_grid=pg)
                 buf = accum.write_samples(buf, px, py, col)
                 return buf, density, jnp.sum(cost)
             self._step = step
