@@ -1,0 +1,109 @@
+"""Mesh-scale TPU measurement: parity + throughput for the cluster path.
+
+BASELINE config 3 workload class: a bunny-scale surface mesh (>= 69k
+triangles, the reference's `bunny2.obj x8` slot) and the 100k-triangle
+procedural cloud (``src_ts/client/index.ts:213-226``).  Prints paths/s
+for the production render path (persistent wavefront + fused megakernel
++ cluster probing).
+
+Usage: python examples/mesh_bench.py [n_subdiv]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wasm_pathtracer_tpu.config import RenderSettings, RenderType
+from wasm_pathtracer_tpu.models.scene import SceneBuilder, Material
+from wasm_pathtracer_tpu.models import scenes
+from wasm_pathtracer_tpu.models.camera import Camera
+from wasm_pathtracer_tpu.ops import bvh, integrator, trace
+
+
+def surface_mesh(n: int) -> np.ndarray:
+    """Deformed-sphere surface mesh with ~2*n^2 triangles (bunny-class
+    stand-in: the reference snapshot ships no bunny2.obj blob,
+    ``.MISSING_LARGE_BLOBS``)."""
+    th = np.linspace(0.15, np.pi - 0.15, n)
+    ph = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    r = 1.5 + 0.35 * np.sin(6 * T) * np.cos(5 * P) + 0.15 * np.cos(9 * P)
+    V = np.stack([r * np.sin(T) * np.cos(P), r * np.cos(T),
+                  r * np.sin(T) * np.sin(P)], -1).astype(np.float32)
+    tris = []
+    for i in range(n - 1):
+        j = np.arange(n)
+        j2 = (j + 1) % n
+        a, b_, c, d = V[i, j], V[i, j2], V[i + 1, j], V[i + 1, j2]
+        tris.append(np.stack([a, b_, c], 1))
+        tris.append(np.stack([b_, d, c], 1))
+    return np.concatenate(tris, 0)
+
+
+def mesh_scene(tris: np.ndarray):
+    b = SceneBuilder(background=(0.05, 0.05, 0.08))
+    b.add_plane((0.0, -2.0, 0.0), (0.0, 1.0, 0.0),
+                Material.diffuse(0.8, 0.8, 0.8))
+    b.add_triangles(tris, Material.diffuse(0.9, 0.45, 0.3))
+    light = Material.emissive(14.0, 14.0, 14.0)
+    b.add_triangle((2.0, 6.0, 2.0), (2.0, 6.0, -2.0), (-2.0, 6.0, -2.0), light)
+    b.add_triangle((-2.0, 6.0, 2.0), (2.0, 6.0, 2.0), (-2.0, 6.0, -2.0), light)
+    return b.build()
+
+
+def bench_scene(scene, label, S=262_144, B=32_768, iters=3, group=None):
+    prep = trace.prepare(scene, use_fused=jax.default_backend() != "cpu")
+    kw = {} if group is None else dict(group=group)
+    prep = bvh.attach_clusters(prep, scene, **kw)
+    n_tri = int(np.sum(np.asarray(scene.ptype) == 2))
+    C = prep.cluster.blocks.shape[0] if prep.cluster is not None else 0
+    settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
+                              max_bounces=8)
+    cam = Camera.create((0.0, 1.0, -6.0), 0.1, 0.0)
+    W = H = 512
+
+    @jax.jit
+    def step(seed):
+        pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
+        acc, cnt, cost = integrator.render_queue(
+            prep, scene, settings, cam, pix, W, H, seed, B)
+        return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum()
+
+    t0 = time.perf_counter()
+    out = step(jnp.uint32(0))
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = [step(jnp.uint32(i)) for i in range(1, iters + 1)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    done = sum(int(c) for _, c, _ in outs)
+    cost = sum(float(x) for _, _, x in outs)
+    assert done == iters * S, (done, iters * S)
+    pps = done / dt
+    print(f"{label}: {n_tri} tris, {C} clusters -> {pps/1e6:.3f} Mpaths/s "
+          f"(compile {compile_s:.0f}s, {cost/done:.0f} prim-tests/path)")
+    return pps
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 188  # ~70k tris
+    tris = surface_mesh(n)
+    print(f"surface mesh: {len(tris)} triangles")
+    bench_scene(mesh_scene(tris), "bunny-class mesh")
+
+    cloud = scenes.triangle_cloud(100_000)
+    b = SceneBuilder(background=(0.05, 0.05, 0.08))
+    b.add_triangles(cloud, Material.diffuse(0.7, 0.7, 0.7))
+    light = Material.emissive(14.0, 14.0, 14.0)
+    b.add_triangle((2.0, 6.0, 2.0), (2.0, 6.0, -2.0), (-2.0, 6.0, -2.0), light)
+    b.add_triangle((-2.0, 6.0, 2.0), (2.0, 6.0, 2.0), (-2.0, 6.0, -2.0), light)
+    bench_scene(b.build(), "100k triangle cloud")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,8 +48,8 @@ def test_pick_pixels_proportional_allocation():
     acc[4, 4] = 30.0
     buf = accum.AccumBuffer(acc=jnp.asarray(acc),
                             count=jnp.ones((16, 16), jnp.float32))
-    px, py, density = adaptive.pick_pixels(buf, 4096, jnp.uint32(7),
-                                           bootstrap=False)
+    px, py, density, _ = adaptive.pick_pixels(buf, 4096, jnp.uint32(7),
+                                              bootstrap=False)
     px, py = np.asarray(px), np.asarray(py)
     assert ((px >= 0) & (px < 16)).all() and ((py >= 0) & (py < 16)).all()
     hot = ((px == 4) & (py == 4)).sum()
@@ -60,18 +60,42 @@ def test_pick_pixels_proportional_allocation():
 
 def test_pick_pixels_bootstrap_uniform():
     buf = accum.AccumBuffer.create(8, 8)
-    px, py, _ = adaptive.pick_pixels(buf, 6400, jnp.uint32(3), bootstrap=True)
+    px, py, _, _ = adaptive.pick_pixels(buf, 6400, jnp.uint32(3),
+                                        bootstrap=True)
     counts = np.bincount(np.asarray(py) * 8 + np.asarray(px), minlength=64)
-    assert counts.min() > 50  # ~100 each under uniform stratified draw
+    # cyclic sweep: exactly uniform (6400 = 100 * 64)
+    assert (counts == 100).all()
 
 
 def test_pick_pixels_respects_region():
     buf = accum.AccumBuffer.create(16, 8)
-    px, py, _ = adaptive.pick_pixels(buf, 1024, jnp.uint32(9),
-                                     bootstrap=True, x0=8, y0=0,
-                                     width=8, height=8)
+    px, py, _, _ = adaptive.pick_pixels(buf, 1024, jnp.uint32(9),
+                                        bootstrap=True, x0=8, y0=0,
+                                        width=8, height=8)
     px = np.asarray(px)
     assert (px >= 8).all() and (px < 16).all()
+
+
+def test_pick_pixels_no_starvation():
+    """The per-round floor (``sampling_strategy.rs:163-166``: every
+    pixel enqueued >= once per refill round): even with the error mass
+    concentrated on one pixel, the cyclic floor sweep reaches every
+    pixel within about total/batch consecutive batches."""
+    acc = np.zeros((16, 16, 3), np.float32)
+    acc[4, 4] = 30.0        # all error at one pixel
+    buf = accum.AccumBuffer(acc=jnp.asarray(acc),
+                            count=jnp.ones((16, 16), jnp.float32))
+    batch = 512
+    seen = np.zeros(256, bool)
+    sweep = None
+    # total mass <= 256 + 33 => one round is <= ceil(289*... ) batches;
+    # floor share is 256/289 of each batch => ~2 batches sweep all 256
+    for k in range(4):
+        px, py, _, sweep = adaptive.pick_pixels(
+            buf, batch, jnp.uint32(100 + k), bootstrap=False,
+            sweep_pos=sweep)
+        seen[np.asarray(py) * 16 + np.asarray(px)] = True
+    assert seen.all(), f"{(~seen).sum()} pixels starved"
 
 
 def test_random_pixels_region():

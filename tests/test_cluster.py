@@ -96,3 +96,65 @@ def test_cluster_prunes_miss_rays_quickly():
     t, sid, hit, cost = trace.trace_scene(prep, scene, o, d)
     assert not np.asarray(hit).any()
     assert np.asarray(cost).max() == 0
+
+
+def test_cluster_generalizes_to_spheres():
+    """The structure accepts any finite primitive (the reference's BVH
+    is generic over ``ShapeRep``, ``bvh.rs:84-103``): a sphere cloud
+    traces with sub-linear cost and full parity vs dense."""
+    r = np.random.default_rng(3)
+    b = SceneBuilder(background=(0.0, 0.0, 0.0))
+    n_sph = 4096
+    for c, rad in zip(r.uniform(-20, 20, size=(n_sph, 3)),
+                      r.uniform(0.05, 0.25, size=n_sph)):
+        b.add_sphere(tuple(c), float(rad), Material.diffuse(0.5, 0.5, 0.5))
+    scene = b.build()
+
+    prep_cl = bvh.attach_clusters(trace.prepare(scene), scene,
+                                  min_count=1, group=64)
+    assert prep_cl.cluster is not None
+    assert prep_cl.idx_sphere.shape[0] == 0     # moved out of dense
+    prep_dn = trace.prepare(scene)
+
+    o, d = _rays(256, seed=5)
+    o = o * 8.0   # start outside the cloud
+    t0, s0, h0, _ = trace.trace_scene(prep_dn, scene, o, d)
+    t1, s1, h1, cost = trace.trace_scene(prep_cl, scene, o, d)
+
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    assert (h0 == h1).all()
+    # f32 quadratic roundoff at t ~ 40 differs ~2e-5 relative between
+    # the dense and gathered evaluation orders
+    assert np.allclose(t0[h0], t1[h0], rtol=3e-4, atol=1e-4)
+    assert (np.asarray(s0)[h0] == np.asarray(s1)[h0]).mean() > 0.99
+    # sub-linear: mean primitives tested well below the 4096 dense count
+    assert np.asarray(cost).mean() < n_sph / 4
+
+
+def test_cluster_mixed_families():
+    """Spheres + triangles in ONE structure, masked type switch."""
+    r = np.random.default_rng(11)
+    b = SceneBuilder(background=(0.0, 0.0, 0.0))
+    for c, rad in zip(r.uniform(-5, 5, size=(600, 3)),
+                      r.uniform(0.1, 0.3, size=600)):
+        b.add_sphere(tuple(c), float(rad), Material.diffuse(0.5, 0.5, 0.5))
+    tris = _surface_mesh(16)
+    b.add_triangles(tris * 2.0, Material.diffuse(0.8, 0.4, 0.4))
+    scene = b.build()
+
+    prep_cl = bvh.attach_clusters(trace.prepare(scene), scene,
+                                  min_count=1, group=32)
+    fams = prep_cl.cluster.families
+    assert len(fams) == 2
+    prep_dn = trace.prepare(scene)
+
+    o, d = _rays(256, seed=9)
+    o = o * 3.0
+    t0, s0, h0, _ = trace.trace_scene(prep_dn, scene, o, d)
+    t1, s1, h1, _ = trace.trace_scene(prep_cl, scene, o, d)
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    assert (h0 == h1).mean() > 0.995
+    both = h0 & h1
+    assert np.allclose(np.asarray(t0)[both], np.asarray(t1)[both],
+                       rtol=1e-4, atol=1e-4)

@@ -125,7 +125,7 @@ def test_render_queue_conserves_samples():
     assert int(cnt.sum()) == W * H * spp
     assert bool((cnt == spp).all())
     assert np.isfinite(np.asarray(acc)).all()
-    assert float(cost) > 0
+    assert int(np.asarray(cost, dtype=np.int64).sum()) > 0
 
 
 def test_render_queue_invariant_to_lane_count():
@@ -167,8 +167,10 @@ def test_render_queue_matches_lockstep_statistically():
 
 
 def test_render_queue_respects_bounce_cap():
-    # max_bounces=1: only direct emissive hits / background contribute,
-    # identical to the lockstep single-bounce render per ray stream
+    # max_bounces=1 over pix=arange at 1 spp: the queue keys path i's
+    # RNG by its queue index == pixel id, exactly render_pixels' ray_id
+    # keying — so the queue image must EQUAL the lockstep single-bounce
+    # render per pixel, not just statistically
     scene = scenes.sphere_plane()
     st = RenderSettings(render_type=RenderType.NO_NEE, max_bounces=1)
     cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
@@ -176,4 +178,28 @@ def test_render_queue_respects_bounce_cap():
     pix = jnp.arange(W * H, dtype=jnp.int32)
     acc, cnt, _ = _queue_render(scene, st, cam, pix, W, H, 3, 32)
     assert int(cnt.sum()) == W * H
-    assert np.isfinite(np.asarray(acc)).all()
+    assert bool((cnt == 1).all())
+
+    prep = trace.prepare(scene)
+    col, _ = jax.jit(lambda s: integrator.render_pixels(
+        prep, scene, st, cam, pix % W, pix // W, W, H, s))(jnp.uint32(3))
+    assert np.allclose(np.asarray(acc), np.asarray(col), atol=1e-6)
+
+
+def test_render_queue_empty_and_zero_bounce():
+    # degenerate inputs: S == 0 returns zeros; max_bounces == 0 matches
+    # trace_paths' zero-step scan (black) while still counting samples
+    scene = scenes.sphere_plane()
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    W = H = 8
+    st = RenderSettings(render_type=RenderType.NO_NEE, max_bounces=4)
+    empty = jnp.zeros((0,), jnp.int32)
+    acc, cnt, cost = _queue_render(scene, st, cam, empty, W, H, 3, 32)
+    assert int(cnt.sum()) == 0 and float(jnp.abs(acc).sum()) == 0.0
+
+    st0 = RenderSettings(render_type=RenderType.NO_NEE, max_bounces=0)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    acc, cnt, cost = _queue_render(scene, st0, cam, pix, W, H, 3, 32)
+    assert bool((cnt == 1).all())
+    assert float(jnp.abs(acc).sum()) == 0.0
+    assert int(np.asarray(cost, dtype=np.int64).sum()) == 0

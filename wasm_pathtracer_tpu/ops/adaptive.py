@@ -53,40 +53,70 @@ def target_spp(buf: accum.AccumBuffer, spp_scale: float = 32.0):
 def pick_pixels(buf: accum.AccumBuffer, batch: int, seed,
                 bootstrap: bool, spp_scale: float = 32.0,
                 x0: int = 0, y0: int = 0,
-                width: int | None = None, height: int | None = None):
+                width: int | None = None, height: int | None = None,
+                sweep_pos=None):
     """Draw a batch of pixel coordinates for the region
     ``[x0, x0+width) x [y0, y0+height)``.
 
     ``bootstrap`` reproduces the uniform first round
-    (``sampling_strategy.rs:194-205``): nothing to adapt to yet.
-    Returns (px, py, density) where ``density`` is the (H, W) scaled
-    error for the sampling-density debug view.
+    (``sampling_strategy.rs:194-205``) as an exact cyclic sweep.
+
+    The reference enqueues ``ceil(1 + 32*err)`` copies of EVERY pixel
+    per refill round (``sampling_strategy.rs:163-166``), so each round
+    gives each pixel at least one sample.  The fixed-batch analog
+    splits each batch: the uniform "+1" share (``hw / total`` of the
+    mass) runs a seamless cyclic sweep from ``sweep_pos`` — a hard
+    no-starvation floor — and the error-proportional excess ``w - 1``
+    fills the rest by stratified inverse-CDF.  The same allocation in
+    expectation, with static shapes.
+
+    Returns (px, py, density, new_sweep_pos) where ``density`` is the
+    (H, W) scaled error for the sampling-density debug view and
+    ``new_sweep_pos`` must be threaded into the next call (a device
+    scalar: no host sync).
     """
     H, W = buf.acc.shape[:2]
     width = W - x0 if width is None else width
     height = H - y0 if height is None else height
+    hw = width * height
+    if sweep_pos is None:
+        sweep_pos = jnp.int32(0)
+    i = jnp.arange(batch, dtype=jnp.int32)
+    sweep_idx = (sweep_pos + i) % hw
 
     region = slice(y0, y0 + height), slice(x0, x0 + width)
     if bootstrap:
-        w = jnp.ones((height, width), jnp.float32)
         density = jnp.zeros((height, width), jnp.float32)
+        idx = sweep_idx
+        new_pos = (sweep_pos + batch) % hw
     else:
         sub = accum.AccumBuffer(acc=buf.acc[region], count=buf.count[region])
         density = error_field(sub)
         w = jnp.ceil(1.0 + density * spp_scale)
+        flat = w.ravel()
+        total = jnp.maximum(jnp.sum(flat), 1.0)
+        n_floor = jnp.clip(jnp.round(batch * hw / total).astype(jnp.int32),
+                           1, batch)
 
-    flat = w.ravel()
-    cdf = jnp.cumsum(flat)
-    total = cdf[-1]
-    i = jnp.arange(batch, dtype=jnp.uint32)
-    u = rnglib.uniform3(seed, i, _SLOT_PIXEL)[0]
-    # stratified inverse-CDF: slot j targets mass ((j + u_j) / batch) * total
-    targets = (i.astype(jnp.float32) + u) / batch * total
-    idx = jnp.minimum(jnp.searchsorted(cdf, targets, side="right"),
-                      flat.shape[0] - 1)
+        excess = flat - 1.0
+        cdf = jnp.cumsum(excess)
+        etotal = cdf[-1]
+        n_excess = jnp.maximum(batch - n_floor, 1).astype(jnp.float32)
+        u = rnglib.uniform3(seed, i.astype(jnp.uint32), _SLOT_PIXEL)[0]
+        # stratified inverse-CDF over the excess mass: excess slot j
+        # targets mass ((j + u_j) / n_excess) * etotal
+        j = (i - n_floor).astype(jnp.float32)
+        targets = (j + u) / n_excess * jnp.maximum(etotal, 1e-12)
+        cdf_idx = jnp.minimum(jnp.searchsorted(cdf, targets, side="right"),
+                              hw - 1)
+        # degenerate error field (no excess mass): keep sweeping
+        use_sweep = (i < n_floor) | (etotal <= 0.0)
+        idx = jnp.where(use_sweep, sweep_idx, cdf_idx)
+        new_pos = (sweep_pos + n_floor) % hw
+
     py = (idx // width).astype(jnp.int32) + y0
     px = (idx % width).astype(jnp.int32) + x0
-    return px, py, density
+    return px, py, density, new_pos
 
 
 def random_pixels(batch: int, seed, x0: int, y0: int, width: int, height: int):

@@ -469,20 +469,46 @@ def attach_bvh(prep, scene, num_bins: int = 16, use_pallas: bool = False):
 
 
 def attach_clusters(prep, scene, num_bins: int = 16,
-                    group: int | None = None):
-    """Build the cluster-dense structure (``ops.cluster``) for the
-    scene's triangles: a BVH build supplies the spatially-coherent leaf
-    order, then contiguous runs become fixed-size clusters.  This is
-    the default mesh path on TPU (see ops.cluster for why a classic
-    BVH walk is not)."""
+                    group: int | None = None,
+                    min_count: int = 512,
+                    families: list | None = None):
+    """Build the cluster-dense structure (``ops.cluster``) over the
+    scene's finite primitives: a BVH build supplies the
+    spatially-coherent leaf order, then contiguous runs become
+    fixed-size clusters.  This is the default mesh path on TPU (see
+    ops.cluster for why a classic BVH walk is not).
+
+    Like the reference's generic ``ShapeRep`` BVH over every finite
+    shape (``bvh.rs:84-103``), the structure accepts ANY finite
+    primitive type.  By default each family joins the structure when
+    its count reaches ``min_count``; smaller families stay in the
+    dense/fused path where brute force beats probing.  Clustered
+    families are removed from the prep's dense index sets.
+    """
+    from wasm_pathtracer_tpu.models.scene import PrimType
     from wasm_pathtracer_tpu.ops import cluster as cl
 
-    tri_ids = np.asarray(prep.idx_triangle)
+    fam_attr = {
+        int(PrimType.SPHERE): "idx_sphere",
+        int(PrimType.TRIANGLE): "idx_triangle",
+        int(PrimType.TORUS): "idx_torus",
+        int(PrimType.AARECT): "idx_aarect",
+        int(PrimType.SQUARE): "idx_square",
+    }
+    if families is None:
+        families = [f for f, a in fam_attr.items()
+                    if getattr(prep, a).shape[0] >= min_count]
+    families = [int(f) for f in families
+                if getattr(prep, fam_attr[int(f)]).shape[0] > 0]
+    if not families:
+        return prep
+
+    ids = np.concatenate([np.asarray(getattr(prep, fam_attr[f]))
+                          for f in sorted(families)])
     params = np.asarray(scene.params)
-    v = params[tri_ids][:, :9].reshape(-1, 3, 3)
-    pad = np.float32(0.1 * 2e-4)
-    lo = v.min(1) - pad
-    hi = v.max(1) + pad
+    ptypes = np.asarray(scene.ptype)[ids]
+    rows = params[ids][:, :9].astype(np.float32)
+    lo, hi = cl.prim_aabbs(rows, ptypes)
 
     try:
         from wasm_pathtracer_tpu.ops import bvh_native
@@ -490,8 +516,9 @@ def attach_clusters(prep, scene, num_bins: int = 16,
     except Exception:
         _, _, order = build(lo, hi, num_bins)
 
-    prim_index = tri_ids[order].astype(np.int32)
-    tri_rows = params[prim_index][:, :9].astype(np.float32)
-    cs = cl.build_clusters(tri_rows, prim_index,
+    prim_index = ids[order].astype(np.int32)
+    cs = cl.build_clusters(rows[order], ptypes[order], prim_index,
                            group or cl.CLUSTER_SIZE)
-    return dataclasses.replace(prep, cluster=cs)
+    empty = jnp.zeros((0,), jnp.int32)
+    repl = {fam_attr[f]: empty for f in families}
+    return dataclasses.replace(prep, cluster=cs, **repl)

@@ -390,13 +390,28 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         RNG stream — lets concurrent renderers over the same seed (the
         session's left/right halves) draw decorrelated streams.
 
-    Returns (color_sum (H*W, 3), n_samples (H*W,) int32, cost scalar
-    f64-ish f32 total primitive tests) — accumulate as
-    ``accum.add_many(color_sum, n_samples)``.
+    Returns (color_sum (H*W, 3), n_samples (H*W,) int32, lane_cost
+    (n_lanes,) int32 per-lane primitive-test counts) — accumulate the
+    image as ``accum.write_sums(color_sum, n_samples)`` and the cost
+    metric as a host-side int64 sum of ``lane_cost`` (keeping the
+    counter exact on long renders, where a float accumulator would
+    round past 2^24).
     """
     S = pix_queue.shape[0]
     B = n_lanes
     HW = width * height
+    if S == 0:
+        # empty queue: nothing to trace (the gather in gen() would
+        # otherwise index a zero-length array)
+        return (jnp.zeros((HW, 3), jnp.float32), jnp.zeros((HW,), jnp.int32),
+                jnp.zeros((B,), jnp.int32))
+    if settings.max_bounces == 0:
+        # degenerate cap: zero bounces contribute nothing (trace_paths'
+        # scan runs zero steps and returns black); the queue driver's
+        # post-increment done-check would otherwise run one full bounce
+        counts = jnp.zeros((HW,), jnp.int32).at[pix_queue].add(1)
+        return (jnp.zeros((HW, 3), jnp.float32), counts,
+                jnp.zeros((B,), jnp.int32))
     light_tab = _light_table(scene)
 
     def gen(sidx):
@@ -424,7 +439,9 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         pid=pid0, rid=rid0,
         accum=jnp.zeros((HW, 3), jnp.float32),
         counts=jnp.zeros((HW,), jnp.int32),
-        cost=jnp.float32(0.0),
+        # per-lane int32 cost: exact (a scalar f32 accumulator rounds
+        # past 2^24); callers reduce host-side in int64
+        cost=jnp.zeros((B,), jnp.int32),
     )
 
     def cond(st):
@@ -437,7 +454,7 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
             prep, scene, settings, light_tab, photon_grid,
             st["o"], st["d"], st["tp"], st["col"], was, st["hdb"],
             st["absorb"], slot0, st["rid"], seed)
-        cost = st["cost"] + jnp.sum(step_cost.astype(jnp.float32))
+        cost = st["cost"] + step_cost
         bounce = st["bounce"] + jnp.uint32(1)
 
         # a path is done when it died this step or hit the bounce cap

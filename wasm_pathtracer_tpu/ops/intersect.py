@@ -184,16 +184,25 @@ def rays_vs_tori(o, d, center, big_r, small_r):
     # local-space origins (R,T,3); directions broadcast (R,1,3)
     lo = o[:, None, :] - center[None, :, :]
     ld = d[:, None, :]
+    return tori_march(lo, ld, big_r[None], small_r[None])
 
-    ext = jnp.stack([big_r + small_r, small_r, big_r + small_r], axis=-1)  # (T,3)
-    inv_d = 1.0 / _nonzero(d)                            # (R,3)
-    t1 = (-ext[None] - lo) * inv_d[:, None, :]
-    t2 = (ext[None] - lo) * inv_d[:, None, :]
+
+def tori_march(lo, ld, R_, r_):
+    """Broadcast-generic torus intersection core.
+
+    ``lo``: (..., 3) torus-local ray origins; ``ld``: broadcastable
+    (..., 3) unit directions; ``R_``/``r_``: broadcastable (...)
+    major/minor radii.  Returns (...) distances, inf on miss.  Shared
+    by the dense (R, T) sweep above and the cluster block test, where
+    each ray carries its own gathered primitive rows (R, G).
+    """
+    ext = jnp.stack([R_ + r_, r_, R_ + r_], axis=-1) * jnp.ones_like(lo)
+    inv_d = 1.0 / _nonzero(ld)
+    t1 = (-ext - lo) * inv_d
+    t2 = (ext - lo) * inv_d
     t_in = jnp.max(jnp.minimum(t1, t2), axis=-1)
     t_out = jnp.min(jnp.maximum(t1, t2), axis=-1)
     hit_box = (t_in < t_out) & (t_out > 0.0)
-
-    R_, r_ = big_r[None], small_r[None]
 
     def sdf(t):
         return _torus_sdf(lo + ld * t[..., None], R_, r_)

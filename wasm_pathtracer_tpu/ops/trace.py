@@ -62,9 +62,11 @@ class ScenePrep:
     # route the triangle sweep through the streaming dense Pallas kernel
     # (ops.traverse_pallas) instead of BVH traversal / XLA dense
     use_pallas: bool = _field(metadata=dict(static=True), default=False)
-    # route the WHOLE scene test through the fused Pallas megakernel
-    # (ops.scene_pallas) — forward-only (Pallas is not differentiable);
-    # ignored when a cluster/BVH structure is attached
+    # route the dense-family scene test through the fused Pallas
+    # megakernel (ops.scene_pallas) — forward-only (Pallas is not
+    # differentiable).  Composes with an attached cluster structure
+    # (small families fused in VMEM, clustered families probed after);
+    # ignored when a BVH is attached
     use_fused: bool = _field(metadata=dict(static=True), default=False)
 
     @property
@@ -111,12 +113,24 @@ def trace_scene(prep: ScenePrep, scene: SceneData, o, d):
     primitive/node tests per ray, the analog of the reference's BVH-visit
     counter (``scene.rs:137-144``).
     """
-    if prep.use_fused and prep.cluster is None and not prep.has_bvh:
-        # fused whole-scene Pallas megakernel (forward-only fast path)
-        from wasm_pathtracer_tpu.ops import scene_pallas
-        return scene_pallas.trace_scene_fused(prep, scene, o, d)
-
     R = o.shape[0]
+    n_dense = sum(getattr(prep, f"idx_{k}").shape[0] for k in
+                  ("plane", "sphere", "torus", "aarect", "square"))
+
+    if prep.use_fused and not prep.has_bvh:
+        # fused whole-scene Pallas megakernel over the dense families
+        # (forward-only fast path); clustered families merge below —
+        # the two fast paths compose instead of excluding each other
+        if n_dense + prep.idx_triangle.shape[0] > 0:
+            from wasm_pathtracer_tpu.ops import scene_pallas
+            best_t, best_id, _, cost = scene_pallas.trace_scene_fused(
+                prep, scene, o, d)
+        else:
+            best_t = jnp.full((R,), jnp.inf, jnp.float32)
+            best_id = jnp.full((R,), -1, jnp.int32)
+            cost = jnp.zeros((R,), jnp.int32)
+        return _merge_cluster(prep, o, d, best_t, best_id, cost)
+
     best_t = jnp.full((R,), jnp.inf, jnp.float32)
     best_id = jnp.full((R,), -1, jnp.int32)
     cost = jnp.zeros((R,), jnp.int32)
@@ -169,16 +183,6 @@ def trace_scene(prep: ScenePrep, scene: SceneData, o, d):
             best_t = jnp.where(better, t, best_t)
             best_id = jnp.where(better, sid, best_id)
             cost += n_tri
-        elif prep.cluster is not None:
-            from wasm_pathtracer_tpu.ops import cluster as cl
-            t, slot, rounds = cl.trace_clusters(prep.cluster, o, d, best_t)
-            hit_tri = slot >= 0
-            sid = prep.cluster.slot_to_sid[jnp.maximum(slot, 0)]
-            sid = jnp.where(hit_tri, sid, -1)
-            better = hit_tri & (t < best_t)
-            best_t = jnp.where(better, t, best_t)
-            best_id = jnp.where(better, sid, best_id)
-            cost += rounds * prep.cluster.blocks.shape[1]
         elif prep.has_bvh:
             from wasm_pathtracer_tpu.ops import traverse
             t, sid, visits = traverse.trace_bvh4(
@@ -218,6 +222,22 @@ def trace_scene(prep: ScenePrep, scene: SceneData, o, d):
                 body, (best_t, best_id), (idx_cs, valid_cs))
             cost += n_tri
 
+    return _merge_cluster(prep, o, d, best_t, best_id, cost)
+
+
+def _merge_cluster(prep: ScenePrep, o, d, best_t, best_id, cost):
+    """Fold the cluster structure's nearest hit into the running best
+    and finalize the (t, sid, hit, cost) contract."""
+    if prep.cluster is not None:
+        from wasm_pathtracer_tpu.ops import cluster as cl
+        t, slot, rounds = cl.trace_clusters(prep.cluster, o, d, best_t)
+        hit_cl = slot >= 0
+        sid = prep.cluster.slot_to_sid[jnp.maximum(slot, 0)]
+        sid = jnp.where(hit_cl, sid, -1)
+        better = hit_cl & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_id = jnp.where(better, sid, best_id)
+        cost += rounds * prep.cluster.blocks.shape[1]
     hit = jnp.isfinite(best_t)
     return jnp.where(hit, best_t, jnp.inf), best_id, hit, cost
 

@@ -33,6 +33,14 @@ def save(path: str, session) -> None:
         cam_rot_y=np.asarray(session.camera.rot_y),
         left_round=session.left.round,
         right_round=session.right.round,
+        # adaptive-sampler ledgers: without these a resumed adaptive
+        # render would re-enter bootstrap and lose its sweep position
+        left_rays_traced=session.left._rays_traced,
+        right_rays_traced=session.right._rays_traced,
+        left_sweep=np.asarray(session.left._sweep),
+        right_sweep=np.asarray(session.right._sweep),
+        left_bvh_hits=session.left.num_bvh_hits,
+        right_bvh_hits=session.right.num_bvh_hits,
     )
     for name, inst in (("left", session.left), ("right", session.right)):
         if inst.photon_grid is not None:
@@ -61,6 +69,12 @@ def load(path: str, session) -> None:
                                    float(z["cam_rot_y"]))
     session.left.round = int(z["left_round"])
     session.right.round = int(z["right_round"])
+    for name, inst in (("left", session.left), ("right", session.right)):
+        # older checkpoints predate the adaptive ledger fields
+        if f"{name}_rays_traced" in z:
+            inst._rays_traced = int(z[f"{name}_rays_traced"])
+            inst._sweep = jnp.asarray(z[f"{name}_sweep"], jnp.int32)
+            inst.num_bvh_hits = int(z[f"{name}_bvh_hits"])
     for name, inst in (("left", session.left), ("right", session.right)):
         key = f"{name}_photon_bins"
         if key in z:

@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ticks", type=int, default=None,
                    help="exact tick budget (overrides --seconds)")
     p.add_argument("--max-bounces", type=int, default=16)
+    p.add_argument("--batch", type=int, default=None,
+                   help="rays per wavefront batch (default 32768)")
+    p.add_argument("--lanes", type=int, default=None,
+                   help="persistent-wavefront lane count (default 8192)")
     p.add_argument("--whitted", type=int, default=None, metavar="DEPTH",
                    help="render one deterministic Whitted frame at this "
                         "recursion depth instead of path tracing")
@@ -73,9 +77,14 @@ def main(argv=None):
     height = min(max(args.height, 128), 1920)
 
     def settings(rt, adaptive):
+        kw = {}
+        if args.batch:
+            kw["ray_batch_size"] = args.batch
+        if args.lanes:
+            kw["regen_lanes"] = args.lanes
         return RenderSettings(render_type=RenderType(rt), adaptive=adaptive,
                               is_debug_photons=args.light_debug,
-                              max_bounces=args.max_bounces)
+                              max_bounces=args.max_bounces, **kw)
 
     camera = Camera.create(args.camera[:3], args.camera[3],
                            args.camera[4]) if args.camera else None

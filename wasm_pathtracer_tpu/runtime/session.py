@@ -67,6 +67,7 @@ class RenderInstance:
         self.round = 0
         self.num_bvh_hits = 0
         self._rays_traced = 0
+        self._sweep = jnp.int32(0)   # adaptive floor-sweep position
         self._pending_cost: list = []
         self._last_density = None
         self.photon_grid: photon.PhotonGrid | None = None
@@ -120,11 +121,13 @@ class RenderInstance:
             # step, so the scatter-add updates in place
             @functools.partial(jax.jit, static_argnames=("bootstrap",),
                                donate_argnums=(2,))
-            def step(scene, camera, buf, seed, photon_grid, bootstrap):
+            def step(scene, camera, buf, seed, photon_grid, sweep,
+                     bootstrap):
                 if settings.adaptive:
-                    px, py, density = adaptive.pick_pixels(
+                    px, py, density, sweep = adaptive.pick_pixels(
                         buf, batch, seed, bootstrap,
-                        settings.adaptive_spp_scale, x0, y0, w, h)
+                        settings.adaptive_spp_scale, x0, y0, w, h,
+                        sweep_pos=sweep)
                 else:
                     px, py = adaptive.random_pixels(batch, seed, x0, y0, w, h)
                     density = jnp.zeros((h, w), jnp.float32)
@@ -135,12 +138,12 @@ class RenderInstance:
                         prep, scene, settings, camera, pix, W, H, seed,
                         lanes, photon_grid=pg, rid_base=rid_base)
                     buf = accum.write_sums(buf, acc_s, cnt_s)
-                    return buf, density, cost
+                    return buf, density, cost, sweep
                 col, cost = integrator.render_pixels(
                     prep, scene, settings, camera, px, py, W, H, seed,
                     photon_grid=pg)
                 buf = accum.write_samples(buf, px, py, col)
-                return buf, density, jnp.sum(cost)
+                return buf, density, jnp.sum(cost), sweep
             self._step = step
         return self._step
 
@@ -174,9 +177,9 @@ class RenderInstance:
             bootstrap = settings.adaptive and (
                 self._rays_traced / max(self.width * self.height, 1)
                 < settings.adaptive_bootstrap_spp)
-            buf, density, cost = step(s.scene, s.camera, s.buffer,
-                                      jnp.uint32(seed), self.photon_grid,
-                                      bootstrap)
+            buf, density, cost, self._sweep = step(
+                s.scene, s.camera, s.buffer, jnp.uint32(seed),
+                self.photon_grid, self._sweep, bootstrap)
             s.buffer = buf
             self._pending_cost.append(cost)
             if settings.adaptive:
@@ -189,9 +192,11 @@ class RenderInstance:
             density, bootstrap = self._last_density
             s.write_density(self.x0, self.y0, density, bootstrap)
             self._last_density = None
-        # fold the cost counters once per compute() call, not per batch
+        # fold the cost counters once per compute() call, not per batch;
+        # regen steps return per-lane int32 vectors — reduce in int64 on
+        # the host so the metric stays exact on long renders
         for c in self._pending_cost:
-            self.num_bvh_hits += int(c)
+            self.num_bvh_hits += int(np.asarray(c, dtype=np.int64).sum())
         self._pending_cost = []
         return traced
 
@@ -207,6 +212,7 @@ class RenderInstance:
         self.num_bvh_hits = 0
         self.round = 0
         self._rays_traced = 0
+        self._sweep = jnp.int32(0)
         self._pending_cost = []
         self._last_density = None
 
@@ -265,16 +271,17 @@ class Session:
         # and differentiable route (and the only one off-TPU)
         prep = trace.prepare(scene,
                              use_fused=jax.default_backend() != "cpu")
-        n_tri = prep.idx_triangle.shape[0]
-        want_accel = (self.use_bvh if self.use_bvh is not None
-                      else n_tri >= RenderSettings().bvh_min_triangles)
-        if want_accel and n_tri > 0:
-            # cluster-dense is the TPU mesh path (see ops.cluster for
-            # why a per-ray BVH walk is not); attach_bvh remains
-            # available for explicit use
-            from wasm_pathtracer_tpu.ops import bvh
-            prep = bvh.attach_clusters(prep, scene)
-        return prep
+        if self.use_bvh is False:
+            return prep
+        # cluster-dense is the TPU acceleration path over ALL finite
+        # primitive families (see ops.cluster for why a per-ray BVH
+        # walk is not); per-family auto threshold unless forced.  The
+        # fused megakernel still covers whatever stays dense — the two
+        # fast paths compose.
+        from wasm_pathtracer_tpu.ops import bvh
+        min_count = 1 if self.use_bvh else \
+            RenderSettings().bvh_min_triangles
+        return bvh.attach_clusters(prep, scene, min_count=min_count)
 
     def write_density(self, x0, y0, density, bootstrap):
         h, w = density.shape
