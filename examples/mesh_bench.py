@@ -9,12 +9,16 @@ for the production render path (persistent wavefront + fused megakernel
 Usage: python examples/mesh_bench.py [n_subdiv]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# runnable from anywhere: the package lives next to examples/
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from wasm_pathtracer_tpu.config import RenderSettings, RenderType
 from wasm_pathtracer_tpu.models.scene import SceneBuilder, Material

@@ -90,3 +90,50 @@ def test_gradients_flow_to_materials_and_camera():
     assert np.isfinite(np.asarray(g_alb)).all()
     assert float(jnp.abs(g_alb).sum()) > 0
     assert np.isfinite(float(g_cam.rot_x))
+
+
+def test_queue_renderer_sharded_matches_unsharded():
+    """The PRODUCTION path (persistent regenerating wavefront) under
+    shard_map: sample counts must be EXACT across device counts; the
+    radiance sums agree to float-reassociation noise (per-path values
+    are bit-identical — RNG is keyed by global queue index — only the
+    per-pixel accumulation order differs between partitions)."""
+    from wasm_pathtracer_tpu.parallel import render_queue_sharded
+    scene, prep, cam, _ = _setup()
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=6)
+    W = H = 16
+    spp = 3
+    pix = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), spp)
+
+    acc0, cnt0, _ = jax.jit(lambda s: integrator.render_queue(
+        prep, scene, st, cam, pix, W, H, s, 128))(jnp.uint32(5))
+
+    mesh8 = make_ray_mesh(jax.devices()[:8])
+    mesh1 = make_ray_mesh(jax.devices()[:1])
+    acc8, cnt8, _ = render_queue_sharded(mesh8, prep, scene, st, cam,
+                                         pix, W, H, jnp.uint32(5), 128)
+    acc1, cnt1, _ = render_queue_sharded(mesh1, prep, scene, st, cam,
+                                         pix, W, H, jnp.uint32(5), 128)
+
+    assert np.array_equal(np.asarray(cnt0), np.asarray(cnt8))
+    assert np.array_equal(np.asarray(cnt1), np.asarray(cnt8))
+    assert int(np.asarray(cnt8).sum()) == W * H * spp
+    a0, a1, a8 = (np.asarray(x) for x in (acc0, acc1, acc8))
+    assert np.allclose(a0, a8, rtol=1e-5, atol=1e-6)
+    assert np.allclose(a1, a8, rtol=1e-5, atol=1e-6)
+
+
+def test_queue_renderer_sharded_ragged_queue():
+    """Queue length not divisible by the device count: the pad sentinel
+    must not leak samples into any pixel."""
+    from wasm_pathtracer_tpu.parallel import render_queue_sharded
+    scene, prep, cam, _ = _setup()
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4)
+    W = H = 8
+    pix = jnp.arange(37, dtype=jnp.int32)    # 37 % 8 != 0
+    mesh8 = make_ray_mesh(jax.devices()[:8])
+    acc, cnt, _ = render_queue_sharded(mesh8, prep, scene, st, cam,
+                                       pix, W, H, jnp.uint32(2), 32)
+    cnt = np.asarray(cnt)
+    assert cnt.sum() == 37
+    assert (cnt[:37] == 1).all() and (cnt[37:] == 0).all()

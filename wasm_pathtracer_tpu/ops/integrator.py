@@ -461,10 +461,13 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         done = was & (~alive | (bounce >= jnp.uint32(settings.max_bounces)))
         alive = alive & ~done
 
-        # splat finished paths (dead lanes add zeros to pixel st.pid)
+        # splat finished paths (dead lanes add zeros to pixel st.pid);
+        # mode="drop" discards out-of-range pixel ids, which lets a
+        # sharded caller pad its queue shard with the sentinel H*W
         accum = st["accum"].at[st["pid"]].add(
-            jnp.where(done[:, None], col, 0.0))
-        counts = st["counts"].at[st["pid"]].add(done.astype(jnp.int32))
+            jnp.where(done[:, None], col, 0.0), mode="drop")
+        counts = st["counts"].at[st["pid"]].add(done.astype(jnp.int32),
+                                                mode="drop")
 
         # regenerate: finished lanes claim the next queue slots in lane
         # order (deterministic — a pure function of the done mask)

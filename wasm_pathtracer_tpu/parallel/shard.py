@@ -83,6 +83,55 @@ def render_image_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
     return img
 
 
+def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
+                         settings: RenderSettings, camera: Camera,
+                         pix_queue, width: int, height: int, seed,
+                         lanes_per_device: int, rid_base: int = 0):
+    """The PRODUCTION renderer under ``shard_map``: the persistent
+    regenerating wavefront (``integrator.render_queue``) with the
+    sample queue sharded over the ``rays`` axis and the scene
+    replicated.
+
+    Each device runs the full wavefront over its queue shard; partial
+    frame sums ``psum`` over ICI.  Path RNG is keyed by the GLOBAL
+    queue index (``axis_index * shard + rid_base``), so every path's
+    radiance is a pure function of (queue, seed) — independent of the
+    device count.  Per-pixel ORDER of float accumulation does depend on
+    the partition, so cross-device-count agreement is exact in sample
+    counts and ~1e-6-relative in radiance (float reassociation), which
+    the sharding test pins down.
+
+    The queue is padded to a device multiple with the out-of-range
+    pixel id ``width*height``; the splat scatter drops it
+    (``integrator.render_queue`` uses mode="drop").
+
+    Returns (color_sum (H*W, 3), n_samples (H*W,) int32, cost scalar
+    f32) — accumulate as ``accum.write_sums``.
+    """
+    n_dev = mesh.devices.size
+    S = pix_queue.shape[0]
+    pad = _pad_to(max(S, 1), n_dev) - S
+    pixq = jnp.pad(pix_queue, (0, pad), constant_values=width * height)
+    shard = pixq.shape[0] // n_dev
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("rays"), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+    def run(pix_s, scene_s, camera_s, seed_s):
+        base = jnp.uint32(rid_base) + \
+            jax.lax.axis_index("rays").astype(jnp.uint32) * jnp.uint32(shard)
+        acc, cnt, lane_cost = integrator.render_queue(
+            prep, scene_s, settings, camera_s, pix_s, width, height,
+            seed_s, lanes_per_device, rid_base=base)
+        acc = jax.lax.psum(acc, "rays")
+        cnt = jax.lax.psum(cnt, "rays")
+        cost = jax.lax.psum(jnp.sum(lane_cost.astype(jnp.float32)), "rays")
+        return acc, cnt, cost
+
+    return run(pixq, scene, camera, seed)
+
+
 def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
                     settings: RenderSettings, width: int, height: int,
                     lr: float = 0.05, spp: int = 1) -> Callable:
