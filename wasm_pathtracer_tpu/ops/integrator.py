@@ -110,19 +110,33 @@ def _light_table(scene: SceneData):
     return lrows, lint, max(scene.num_lights, 1)
 
 
-def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
-                 settings: RenderSettings, light_tab, photon_grid,
-                 o, d, throughput, color, alive, hdb, absorb,
-                 slot0, ray_id, seed):
-    """One wavefront bounce over a ray batch (the shared body).
+def _shade_core(prep: tr.ScenePrep, scene: SceneData,
+                settings: RenderSettings, light_tab, photon_grid,
+                o, d, throughput, color, alive, hdb, absorb,
+                slot0, ray_id, seed, t, sid, hit):
+    """Everything :func:`_bounce_step` does AFTER the scene trace,
+    except resolving the NEE occlusion query.
+
+    Shared verbatim by the lockstep drivers (which trace + shade + cast
+    the shadow ray in one step) and by :mod:`ops.wavefront` (whose
+    flattened loop interleaves per-lane traversal micro-steps with
+    shading, so the shadow trace must be *deferred*): factoring it out
+    keeps the estimator math in one place and the drivers identical
+    per path.
 
     ``slot0`` is the RNG slot base — a scalar ``b * _SLOTS_PER_BOUNCE``
     under :func:`trace_paths`'s lockstep loop, or a per-lane vector
-    under :func:`render_queue` where lanes sit at different depths.
+    where lanes sit at different depths.
 
-    Returns the updated ``(o, d, throughput, color, alive, hdb,
-    absorb)`` carry plus this step's per-lane test count (already
-    masked by ``alive``).
+    Returns ``(carry', shadow_req)`` where ``carry'`` is the updated
+    ``(o, d, throughput, color, alive, hdb, absorb)`` and
+    ``shadow_req`` describes the pending NEE occlusion query
+    (``None`` when this settings/scene combination casts no shadow
+    rays): ``need`` (lanes that must resolve it), ``p_from`` /
+    ``p_to`` (surface point / light point), ``light_sid`` (target
+    shape, non-occluding) and ``contrib`` (the RGB to add when
+    unoccluded, already weighted — ``tracer.rs:303-311``; zero on
+    ``~need`` lanes).  Resolve with :func:`_apply_shadow`.
     """
     R = o.shape[0]
     has_nee = settings.has_nee
@@ -130,8 +144,7 @@ def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
     eps = settings.epsilon
     lrows, lint, n_lights = light_tab
 
-    t, sid, hit, c = tr.trace_scene(prep, scene, o, d)
-    step_cost = jnp.where(alive, c, 0)
+    shadow_req = None
     sid_c = jnp.maximum(sid, 0)
     # t is +inf on miss; every downstream use takes the sanitized
     # value so no inf/NaN ever enters a masked lane (masked NaNs
@@ -248,19 +261,19 @@ def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
                                       new_tp * intensity, 0.0)
         else:
             light_sid = scene.light_shape[lid]
-            occluded, sc = tr.shadow_ray(prep, scene, hit_point, p_l,
-                                         light_sid, eps)
-            step_cost = step_cost + jnp.where(nee_mask, sc, 0)
             area = isx.triangle_area(l0, l1, l2)
             solid_angle = area * cos_o_l / dis_sq
             w = solid_angle * cos_i_l / jnp.maximum(light_chance, 1e-12)
-            add = nee_mask & ~occluded
             # double-where: zero w on masked lanes BEFORE the
             # multiply so the VJP never sees 0 * non-finite
-            w = jnp.where(add, w, 0.0)
-            color = color + jnp.where(add[..., None],
-                                      new_tp * intensity * w[..., None],
-                                      0.0)
+            w = jnp.where(nee_mask, w, 0.0)
+            shadow_req = dict(
+                need=nee_mask,
+                p_from=hit_point,
+                p_to=p_l,
+                light_sid=light_sid,
+                contrib=new_tp * intensity * w[..., None],
+            )
 
     # --- Russian roulette (``tracer.rs:317-324``) ----------------------
     u_rr = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_RR)[0]
@@ -279,7 +292,43 @@ def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
     hdb = jnp.where(scat, new_hdb, hdb)
     alive = new_alive
 
-    return (o, d, throughput, color, alive, hdb, absorb), step_cost
+    return (o, d, throughput, color, alive, hdb, absorb), shadow_req
+
+
+def _apply_shadow(color, shadow_req, occluded):
+    """Fold a resolved NEE occlusion query into the radiance
+    (``tracer.rs:303-311``: add only when the shadow ray is clear)."""
+    add = shadow_req["need"] & ~occluded
+    return color + jnp.where(add[..., None], shadow_req["contrib"], 0.0)
+
+
+def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
+                 settings: RenderSettings, light_tab, photon_grid,
+                 o, d, throughput, color, alive, hdb, absorb,
+                 slot0, ray_id, seed):
+    """One lockstep wavefront bounce over a ray batch: scene trace,
+    :func:`_shade_core`, and the NEE shadow ray resolved inline.
+
+    Returns the updated ``(o, d, throughput, color, alive, hdb,
+    absorb)`` carry plus this step's per-lane test count (already
+    masked by ``alive``).
+    """
+    t, sid, hit, c = tr.trace_scene(prep, scene, o, d)
+    step_cost = jnp.where(alive, c, 0)
+    carry, shadow_req = _shade_core(
+        prep, scene, settings, light_tab, photon_grid,
+        o, d, throughput, color, alive, hdb, absorb,
+        slot0, ray_id, seed, t, sid, hit)
+    if shadow_req is not None:
+        o2, d2, tp2, color2, alive2, hdb2, absorb2 = carry
+        occluded, sc = tr.shadow_ray(prep, scene, shadow_req["p_from"],
+                                     shadow_req["p_to"],
+                                     shadow_req["light_sid"],
+                                     settings.epsilon)
+        step_cost = step_cost + jnp.where(shadow_req["need"], sc, 0)
+        color2 = _apply_shadow(color2, shadow_req, occluded)
+        carry = (o2, d2, tp2, color2, alive2, hdb2, absorb2)
+    return carry, step_cost
 
 
 def trace_paths(prep: tr.ScenePrep, scene: SceneData,
