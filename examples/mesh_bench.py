@@ -9,6 +9,7 @@ for the production render path (persistent wavefront + fused megakernel
 Usage: python examples/mesh_bench.py [n_subdiv]
 """
 
+import functools
 import os
 import sys
 import time
@@ -24,7 +25,7 @@ from wasm_pathtracer_tpu.config import RenderSettings, RenderType
 from wasm_pathtracer_tpu.models.scene import SceneBuilder, Material
 from wasm_pathtracer_tpu.models import scenes
 from wasm_pathtracer_tpu.models.camera import Camera
-from wasm_pathtracer_tpu.ops import bvh, integrator, trace
+from wasm_pathtracer_tpu.ops import bvh, integrator, trace, wavefront
 
 
 def surface_mesh(n: int) -> np.ndarray:
@@ -58,7 +59,8 @@ def mesh_scene(tris: np.ndarray):
     return b.build()
 
 
-def bench_scene(scene, label, S=262_144, B=32_768, iters=3, group=None):
+def bench_scene(scene, label, S=262_144, B=32_768, iters=3, group=None,
+                forms=("lockstep", "flat"), shortlist_k=None):
     prep = trace.prepare(scene, use_fused=jax.default_backend() != "cpu")
     kw = {} if group is None else dict(group=group)
     prep = bvh.attach_clusters(prep, scene, **kw)
@@ -68,37 +70,49 @@ def bench_scene(scene, label, S=262_144, B=32_768, iters=3, group=None):
                               max_bounces=8)
     cam = Camera.create((0.0, 1.0, -6.0), 0.1, 0.0)
     W = H = 512
+    best = 0.0
 
-    @jax.jit
-    def step(seed):
-        pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
-        acc, cnt, cost = integrator.render_queue(
-            prep, scene, settings, cam, pix, W, H, seed, B)
-        return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum()
+    for form in forms:
+        if form == "flat" and prep.cluster is None:
+            continue
+        kw2 = {} if shortlist_k is None else dict(shortlist_k=shortlist_k)
 
-    t0 = time.perf_counter()
-    out = step(jnp.uint32(0))
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
+        @jax.jit
+        def step(seed, form=form, kw2=kw2):
+            pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
+            fn = (integrator.render_queue if form == "lockstep"
+                  else functools.partial(wavefront.render_queue_flat, **kw2))
+            acc, cnt, cost = fn(prep, scene, settings, cam, pix, W, H,
+                                seed, B)
+            return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum()
 
-    t0 = time.perf_counter()
-    outs = [step(jnp.uint32(i)) for i in range(1, iters + 1)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    done = sum(int(c) for _, c, _ in outs)
-    cost = sum(float(x) for _, _, x in outs)
-    assert done == iters * S, (done, iters * S)
-    pps = done / dt
-    print(f"{label}: {n_tri} tris, {C} clusters -> {pps/1e6:.3f} Mpaths/s "
-          f"(compile {compile_s:.0f}s, {cost/done:.0f} prim-tests/path)")
-    return pps
+        t0 = time.perf_counter()
+        out = step(jnp.uint32(0))
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        outs = [step(jnp.uint32(i)) for i in range(1, iters + 1)]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        done = sum(int(c) for _, c, _ in outs)
+        cost = sum(float(x) for _, _, x in outs)
+        assert done == iters * S, (done, iters * S)
+        pps = done / dt
+        print(f"{label} [{form}]: {n_tri} tris, {C} clusters -> "
+              f"{pps/1e6:.3f} Mpaths/s (compile {compile_s:.0f}s, "
+              f"{cost/done:.0f} prim-tests/path)", flush=True)
+        best = max(best, pps)
+    return best
 
 
 def main():
+    forms = tuple(sys.argv[2].split(",")) if len(sys.argv) > 2 \
+        else ("flat", "lockstep")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 188  # ~70k tris
     tris = surface_mesh(n)
-    print(f"surface mesh: {len(tris)} triangles")
-    bench_scene(mesh_scene(tris), "bunny-class mesh")
+    print(f"surface mesh: {len(tris)} triangles", flush=True)
+    bench_scene(mesh_scene(tris), "bunny-class mesh", forms=forms)
 
     cloud = scenes.triangle_cloud(100_000)
     b = SceneBuilder(background=(0.05, 0.05, 0.08))
@@ -106,7 +120,7 @@ def main():
     light = Material.emissive(14.0, 14.0, 14.0)
     b.add_triangle((2.0, 6.0, 2.0), (2.0, 6.0, -2.0), (-2.0, 6.0, -2.0), light)
     b.add_triangle((-2.0, 6.0, 2.0), (2.0, 6.0, 2.0), (-2.0, 6.0, -2.0), light)
-    bench_scene(b.build(), "100k triangle cloud")
+    bench_scene(b.build(), "100k triangle cloud", forms=forms)
 
 
 if __name__ == "__main__":

@@ -125,3 +125,47 @@ def test_checkpoint_preserves_photon_state(tmp_path):
     assert np.array_equal(np.asarray(s2.left.photon_grid.bins),
                           np.asarray(s.left.photon_grid.bins))
     s2.compute(2048)  # resumes without rebuilding from scratch
+
+
+def test_cloud_scene_end_to_end_uses_flat_wavefront():
+    """The procedural cloud workloads (scene ids 3/4/5 — the reference
+    client's standing meshes, ``src_ts/client/index.ts:224-226``) render
+    end-to-end through the session, with clusters attached and the
+    flattened wavefront selected automatically."""
+    fast = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=3,
+                          ray_batch_size=1024, regen_lanes=256)
+    s = Session(32, 32, scene_id=4, left=fast, right=fast)
+    n_tri = int(np.asarray(s.scene.ptype == 2).sum())
+    assert n_tri == 10_002   # 10k cloud + 2 light triangles
+    assert s.prep.cluster is not None
+    s.compute(2048)
+    counts = np.asarray(s.buffer.count)
+    assert counts.sum() >= 2048
+    assert s.results().max() > 0
+    # cost counter is sub-linear: far fewer prim tests than brute force
+    per_ray = s.num_bvh_hits / max(counts.sum(), 1)
+    assert 0 < per_ray < n_tri
+
+
+def test_cloud_scene_100k_traces():
+    """100k-triangle cloud (scene 5): primary rays trace through the
+    cluster structure with sub-linear per-ray cost."""
+    import jax.numpy as jnp
+    from wasm_pathtracer_tpu.models import scenes as reg
+    from wasm_pathtracer_tpu.models.camera import initial_camera, primary_rays
+    from wasm_pathtracer_tpu.ops import bvh as bvhlib
+    from wasm_pathtracer_tpu.ops import trace as tr
+
+    scene = reg.select_scene(5)
+    assert int(np.asarray(scene.ptype == 2).sum()) == 100_002
+    prep = bvhlib.attach_clusters(tr.prepare(scene), scene)
+    cam = initial_camera(5)
+    n = 512
+    pix = jnp.arange(n, dtype=jnp.int32) * 8   # every 8th pixel of 64x64
+    px = pix % 64
+    py = pix // 64
+    o, d = primary_rays(cam, px, py, jnp.zeros(n) + 0.5, jnp.zeros(n) + 0.5,
+                        64, 64, 0.8)
+    t, sid, hit, cost = tr.trace_scene(prep, scene, o, d)
+    assert bool(hit.any())
+    assert float(np.asarray(cost).mean()) < 100_002 / 4

@@ -130,6 +130,12 @@ class RenderSettings:
     # ``ray_batch_size``, so occupancy stays high while the drain tail
     # costs ~lanes/batch of a step.
     regen_lanes: int = 8192
+    # Flattened traversal (``ops.wavefront.render_queue_flat``): cluster
+    # probe micro-steps interleave with bounces in one persistent loop,
+    # so no lane waits lockstep on the slowest ray's probe sequence.
+    # None = auto (use it whenever a cluster structure is attached);
+    # requires ``use_regen``.
+    use_flat_wavefront: bool | None = None
 
     # --- Debug ------------------------------------------------------------
     debug_view: DebugView = DebugView.NONE

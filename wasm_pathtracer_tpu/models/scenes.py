@@ -27,10 +27,14 @@ import numpy as np
 from wasm_pathtracer_tpu.models.scene import Material, SceneBuilder, SceneData
 from wasm_pathtracer_tpu.utils.rng import Xorshift32
 
-# Mesh ids (``src_ts/shared/meshes.ts:5-13`` defines BUNNY_LOW=0/BUNNY_HIGH=1/
-# CLOUD_100=2 ...; ``src/scenes.rs:12`` keys the high bunny as mesh 1).
+# Mesh ids (``src_ts/client/meshes.ts:5-13`` defines BUNNY_LOW=0 /
+# BUNNY_HIGH=1 / CLOUD_100=2 / CLOUD_10K=3 / CLOUD_100K=4;
+# ``src/scenes.rs:12`` keys the high bunny as mesh 1).
 MESH_BUNNY_LOW = 0
 MESH_BUNNY_HIGH = 1
+MESH_CLOUD_100 = 2
+MESH_CLOUD_10K = 3
+MESH_CLOUD_100K = 4
 
 
 def museum() -> SceneData:
@@ -107,6 +111,36 @@ def bunny_high(meshes: dict | None = None) -> SceneData:
     return b.build()
 
 
+def cloud(n: int, meshes: dict | None = None,
+          mesh_id: int | None = None) -> SceneData:
+    """Triangle-cloud workload scene.
+
+    The reference client registers 100 / 10k / 100k-triangle procedural
+    clouds as standing workloads (``src_ts/client/index.ts:164-184,
+    224-226``, mesh ids ``src_ts/client/meshes.ts:10-12``); here they
+    are first-class scenes (ids 3/4/5).  An uploaded mesh under the
+    matching CLOUD_* id takes precedence (with the reference's
+    mesh-upload transform, x0.5 scale +5z, ``wasm_interface.rs:300-313``);
+    otherwise the deterministic :func:`triangle_cloud` generates it.
+    """
+    b = SceneBuilder(background=(0.02, 0.02, 0.04))
+    b.add_plane((0.0, -3.0, 0.0), (0.0, 1.0, 0.0),
+                Material.diffuse(0.8, 0.8, 0.8))
+    if meshes and mesh_id is not None and mesh_id in meshes:
+        tris = np.asarray(meshes[mesh_id], np.float32) * 0.5
+        tris = tris + np.array([0.0, 0.0, 5.0], np.float32)
+    else:
+        # the reference cloud spans [-2.5,2.5]^2 x [0,5]; same box after
+        # the upload transform
+        tris = triangle_cloud(n) * 0.5 + np.array([0.0, 0.0, 5.0],
+                                                  np.float32)
+    b.add_triangles(tris, Material.diffuse(0.75, 0.55, 0.35))
+    light = Material.emissive(14.0, 14.0, 14.0)
+    b.add_triangle((2.0, 7.0, 4.5), (2.0, 7.0, 0.5), (-2.0, 7.0, 0.5), light)
+    b.add_triangle((-2.0, 7.0, 4.5), (2.0, 7.0, 4.5), (-2.0, 7.0, 0.5), light)
+    return b.build()
+
+
 def sphere_plane() -> SceneData:
     """Minimal sphere+plane scene (BASELINE.json config 1)."""
     b = SceneBuilder(background=(0.1, 0.1, 0.1))
@@ -160,6 +194,15 @@ def triangle_cloud(n: int, seed: int = 7) -> np.ndarray:
 SCENE_REGISTRY = {
     0: lambda meshes=None, textures=None: museum(),
     2: lambda meshes=None, textures=None: bunny_high(meshes),
+    # the client's standing procedural workloads as first-class scenes
+    # (scene id = cloud mesh id + 1, matching the session's
+    # scene-uses-mesh convention, ``wasm_interface.rs:316-324``)
+    3: lambda meshes=None, textures=None: cloud(100, meshes,
+                                                MESH_CLOUD_100),
+    4: lambda meshes=None, textures=None: cloud(10_000, meshes,
+                                                MESH_CLOUD_10K),
+    5: lambda meshes=None, textures=None: cloud(100_000, meshes,
+                                                MESH_CLOUD_100K),
     100: lambda meshes=None, textures=None: sphere_plane(),
     101: lambda meshes=None, textures=None: whitted(textures),
 }

@@ -22,6 +22,7 @@ Everything is differentiable w.r.t. materials, lights and camera.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from wasm_pathtracer_tpu.config import RenderSettings
@@ -36,33 +37,63 @@ from wasm_pathtracer_tpu.ops.integrator import _refract_dir, _schlick
 from wasm_pathtracer_tpu.utils import vecmath as vm
 
 
-def _direct_light(prep, scene: SceneData, p, n, albedo, eps):
-    """Direct illumination at a diffuse surface point (hard shadows)."""
+def _direct_light(prep, scene: SceneData, p, n, albedo, eps,
+                  light_chunk: int = 16):
+    """Direct illumination at a diffuse surface point (hard shadows).
+
+    Whitted shading is deterministic, so EVERY area light contributes
+    (centroid-sampled).  The occlusion queries are batched TPU-style:
+    lights are processed in chunks of ``light_chunk`` under ``lax.scan``,
+    each chunk ONE wavefront shadow trace over (R * chunk) rays — the
+    museum's 108 lights cost 7 batched traces per recursion level
+    instead of 108 sequential full-batch dispatches.
+    """
     R = p.shape[0]
     out = jnp.zeros((R, 3), jnp.float32)
     brdf = albedo / jnp.pi
 
     # area lights, centroid-sampled
-    if scene.num_lights > 0:
-        lrows = scene.params[scene.light_shape]
-        for li in range(scene.num_lights):
-            v0, v1, v2 = (lrows[li, 0:3], lrows[li, 3:6], lrows[li, 6:9])
-            centroid = (v0 + v1 + v2) / 3.0
-            n_l = vm.normalize(jnp.cross(v1 - v0, v2 - v0))
-            to_l = centroid[None, :] - p
-            dis_sq = jnp.maximum(vm.length_sq(to_l), 1e-12)
+    L = scene.num_lights
+    if L > 0:
+        lrows = scene.params[scene.light_shape]            # (L, 9)
+        v0, v1, v2 = lrows[:, 0:3], lrows[:, 3:6], lrows[:, 6:9]
+        centroid = (v0 + v1 + v2) / 3.0                    # (L, 3)
+        n_l = vm.normalize(jnp.cross(v1 - v0, v2 - v0))    # (L, 3)
+        area = isx.triangle_area(v0, v1, v2)               # (L,)
+        emit = scene.emission[scene.light_shape]           # (L, 3)
+
+        Lc = min(light_chunk, L)
+        pad = (-L) % Lc
+        # padded lights get zero area (-> masked) and sid -2 (matches no
+        # occluder); their garbage geometry never reaches the output
+        cent_p = jnp.pad(centroid, ((0, pad), (0, 0))).reshape(-1, Lc, 3)
+        nl_p = jnp.pad(n_l, ((0, pad), (0, 0))).reshape(-1, Lc, 3)
+        area_p = jnp.pad(area, (0, pad)).reshape(-1, Lc)
+        emit_p = jnp.pad(emit, ((0, pad), (0, 0))).reshape(-1, Lc, 3)
+        sid_p = jnp.pad(scene.light_shape, (0, pad),
+                        constant_values=-2).reshape(-1, Lc)
+
+        def chunk_body(acc, ch):
+            cent, nl, ar, em, sid = ch
+            to_l = cent[None, :, :] - p[:, None, :]        # (R, Lc, 3)
+            dis_sq = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12)
             to_l = to_l / jnp.sqrt(dis_sq)[..., None]
-            cos_i = vm.dot(to_l, n)
-            cos_o = jnp.abs(vm.dot(-to_l, n_l[None, :]))  # double-sided
-            vis = cos_i > 0.0
-            occ, _ = tr.shadow_ray(prep, scene,
-                                   p, jnp.broadcast_to(centroid, p.shape),
-                                   scene.light_shape[li], eps)
-            area = isx.triangle_area(v0[None], v1[None], v2[None])[0]
-            w = area * cos_o / dis_sq * cos_i
-            w = jnp.where(vis & ~occ, w, 0.0)
-            out = out + brdf * scene.emission[scene.light_shape[li]] \
-                * w[..., None]
+            cos_i = jnp.sum(to_l * n[:, None, :], -1)
+            cos_o = jnp.abs(jnp.sum(-to_l * nl[None, :, :], -1))  # 2-sided
+            vis = (cos_i > 0.0) & (ar[None, :] > 0.0)
+            # one batched occlusion trace for the whole chunk
+            p_f = jnp.broadcast_to(p[:, None, :], (R, Lc, 3)).reshape(-1, 3)
+            t_f = jnp.broadcast_to(cent[None, :, :],
+                                   (R, Lc, 3)).reshape(-1, 3)
+            s_f = jnp.broadcast_to(sid[None, :], (R, Lc)).reshape(-1)
+            occ, _ = tr.shadow_ray(prep, scene, p_f, t_f, s_f, eps)
+            w = ar[None, :] * cos_o / dis_sq * cos_i
+            w = jnp.where(vis & ~occ.reshape(R, Lc), w, 0.0)
+            return acc + jnp.sum(w[..., None] * em[None, :, :], axis=1), None
+
+        acc, _ = jax.lax.scan(chunk_body, jnp.zeros((R, 3), jnp.float32),
+                              (cent_p, nl_p, area_p, emit_p, sid_p))
+        out = out + brdf * acc
 
     # 0-sized lights
     for li in range(scene.num_plights):

@@ -37,7 +37,8 @@ from wasm_pathtracer_tpu.config import RenderSettings, RenderType
 from wasm_pathtracer_tpu.models.camera import Camera, initial_camera
 from wasm_pathtracer_tpu.models.scene import SceneData
 from wasm_pathtracer_tpu.models import scenes as scene_registry
-from wasm_pathtracer_tpu.ops import accum, adaptive, integrator, photon, trace
+from wasm_pathtracer_tpu.ops import (accum, adaptive, integrator, photon,
+                                     trace, wavefront)
 from wasm_pathtracer_tpu.utils import rng as rnglib
 from wasm_pathtracer_tpu.utils.png import tonemap_u8
 
@@ -133,8 +134,14 @@ class RenderInstance:
                     density = jnp.zeros((h, w), jnp.float32)
                 pg = photon_grid if use_photon else None
                 if use_regen:
+                    use_flat = settings.use_flat_wavefront
+                    if use_flat is None:     # auto: clusters -> flat
+                        use_flat = prep.cluster is not None
+                    queue_fn = (wavefront.render_queue_flat
+                                if use_flat and prep.cluster is not None
+                                else integrator.render_queue)
                     pix = (py * W + px).astype(jnp.int32)
-                    acc_s, cnt_s, cost = integrator.render_queue(
+                    acc_s, cnt_s, cost = queue_fn(
                         prep, scene, settings, camera, pix, W, H, seed,
                         lanes, photon_grid=pg, rid_base=rid_base)
                     buf = accum.write_sums(buf, acc_s, cnt_s)
