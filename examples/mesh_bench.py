@@ -60,7 +60,7 @@ def mesh_scene(tris: np.ndarray):
 
 
 def bench_scene(scene, label, S=262_144, B=32_768, iters=3, group=None,
-                forms=("lockstep", "flat"), shortlist_k=None):
+                forms=("lockstep", "flat")):
     prep = trace.prepare(scene, use_fused=jax.default_backend() != "cpu")
     kw = {} if group is None else dict(group=group)
     prep = bvh.attach_clusters(prep, scene, **kw)
@@ -75,13 +75,12 @@ def bench_scene(scene, label, S=262_144, B=32_768, iters=3, group=None,
     for form in forms:
         if form == "flat" and prep.cluster is None:
             continue
-        kw2 = {} if shortlist_k is None else dict(shortlist_k=shortlist_k)
 
         @jax.jit
-        def step(seed, form=form, kw2=kw2):
+        def step(seed, form=form):
             pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
             fn = (integrator.render_queue if form == "lockstep"
-                  else functools.partial(wavefront.render_queue_flat, **kw2))
+                  else wavefront.render_queue_flat)
             acc, cnt, cost = fn(prep, scene, settings, cam, pix, W, H,
                                 seed, B)
             return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum()

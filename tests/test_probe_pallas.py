@@ -1,0 +1,128 @@
+"""Pallas probe-kernel tests (interpreter mode on CPU).
+
+``ops/probe_pallas.py`` must agree with the XLA per-lane block test
+(``jnp.take`` + ``ops.cluster._block_test``) on every family mix, since
+the flat wavefront substitutes it whenever the cluster table fits VMEM.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from wasm_pathtracer_tpu.config import RenderSettings, RenderType
+from wasm_pathtracer_tpu.models.camera import Camera
+from wasm_pathtracer_tpu.models.scene import SceneBuilder, Material
+from wasm_pathtracer_tpu.ops import bvh, cluster as cl, trace
+from wasm_pathtracer_tpu.ops import probe_pallas as pp
+from wasm_pathtracer_tpu.ops import wavefront, integrator
+
+
+def _mixed_scene(n_tri=200, n_sphere=60, n_torus=8, n_aarect=20,
+                 n_square=12, seed=11):
+    r = np.random.default_rng(seed)
+    b = SceneBuilder(background=(0.05, 0.05, 0.1))
+    mat = Material.diffuse(0.7, 0.5, 0.4)
+    if n_tri:
+        c = r.uniform(-3, 3, (n_tri, 1, 3)) + np.array([0, 0, 6.0])
+        o = r.uniform(-0.3, 0.3, (n_tri, 3, 3))
+        b.add_triangles((c + o).astype(np.float32), mat)
+    for i in range(n_sphere):
+        p = r.uniform(-3, 3, 3) + np.array([0, 0, 6.0])
+        b.add_sphere(tuple(p), float(r.uniform(0.1, 0.4)), mat)
+    for i in range(n_torus):
+        p = r.uniform(-2, 2, 3) + np.array([0, 0, 6.0])
+        b.add_torus(tuple(p), float(r.uniform(0.4, 0.8)),
+                    float(r.uniform(0.1, 0.25)), mat)
+    for i in range(n_aarect):
+        lo = r.uniform(-3, 3, 3) + np.array([0, 0, 6.0])
+        hi = lo + r.uniform(0.2, 0.8, 3)
+        b.add_aarect(lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], mat)
+    for i in range(n_square):
+        p = r.uniform(-3, 3, 3) + np.array([0, 0, 6.0])
+        b.add_square(tuple(p), float(r.uniform(0.3, 1.0)), mat)
+    light = Material.emissive(10.0, 10.0, 10.0)
+    b.add_triangle((1.5, 7.0, 7.5), (1.5, 7.0, 4.5), (-1.5, 7.0, 4.5), light)
+    b.add_triangle((-1.5, 7.0, 7.5), (1.5, 7.0, 7.5), (-1.5, 7.0, 4.5), light)
+    return b.build()
+
+
+def _rays(n, seed=0):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-4, 4, (n, 3)).astype(np.float32)
+    o[:, 2] -= 2.0
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _check(scene, n=128, seed=1, group=128):
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=group, min_count=32)
+    cs = prep.cluster
+    assert cs is not None
+    C = cs.blocks.shape[0]
+    o, d = _rays(n, seed)
+    cidx = (jnp.arange(n, dtype=jnp.int32) * 13) % C
+    blk = jnp.take(cs.blocks, cidx, axis=0)
+    bt = jnp.take(cs.btype, cidx, axis=0)
+    t_xla = np.asarray(cl._block_test(o, d, blk, bt, cs.families))
+    with pltpu.force_tpu_interpret_mode():
+        table = pp.pack_table(cs)
+        t_pl = np.asarray(pp.probe_blocks(cs, table, o, d, cidx))
+    fin = np.isfinite(t_xla)
+    assert (np.isfinite(t_pl) == fin).all()
+    np.testing.assert_allclose(t_pl[fin], t_xla[fin], rtol=1e-5, atol=1e-5)
+
+
+def test_probe_matches_xla_triangles():
+    _check(_mixed_scene(n_tri=300, n_sphere=0, n_torus=0, n_aarect=0,
+                        n_square=0))
+
+
+def test_probe_matches_xla_all_families():
+    _check(_mixed_scene())
+
+
+def test_probe_ragged_lanes():
+    """Lane count not a multiple of the 8-lane group."""
+    _check(_mixed_scene(n_tri=150, n_sphere=40, n_torus=0, n_aarect=0,
+                        n_square=0), n=101)
+
+
+def test_fits_vmem_gate():
+    scene = _mixed_scene(n_tri=300, n_sphere=0, n_torus=0, n_aarect=0,
+                         n_square=0)
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=32)
+    assert pp.fits_vmem(prep.cluster)
+    prep64 = bvh.attach_clusters(trace.prepare(scene), scene,
+                                 group=64, min_count=32)
+    assert not pp.fits_vmem(prep64.cluster)   # kernel requires G == 128
+
+
+def test_flat_wavefront_with_pallas_probe_end_to_end():
+    """The flat wavefront with the Pallas probe enabled (interpret mode)
+    must match the XLA-probe flat wavefront exactly in counts and
+    tightly in radiance."""
+    import dataclasses
+    scene = _mixed_scene(n_tri=180, n_sphere=50, n_torus=0, n_aarect=0,
+                         n_square=0)
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=32)
+    settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
+                              max_bounces=3)
+    camera = Camera.create((0.0, 0.5, -2.0), 0.15, 0.0)
+    W = H = 16
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    a0, c0, _ = wavefront.render_queue_flat(
+        prep, scene, settings, camera, pix, W, H, jnp.uint32(4), 64)
+    # use_fused=True turns on BOTH the fused megakernel (dense families)
+    # and the Pallas probe; run under the interpreter on CPU
+    prep_f = dataclasses.replace(prep, use_fused=True)
+    with pltpu.force_tpu_interpret_mode():
+        a1, c1, _ = wavefront.render_queue_flat(
+            prep_f, scene, settings, camera, pix, W, H, jnp.uint32(4), 64)
+    assert (np.asarray(c0) == np.asarray(c1)).all()
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                               rtol=1e-4, atol=1e-4)

@@ -40,8 +40,7 @@ def _cloud_scene(n_tri=300, n_sphere=0, seed=3):
 
 
 def _render_both(scene, settings, S=2048, B=256, W=48, H=48, seed=5,
-                 group=64, min_count=64, k=wavefront.SHORTLIST_K,
-                 photon_grid=None):
+                 group=64, min_count=64, photon_grid=None):
     prep = trace.prepare(scene)
     prep = bvh.attach_clusters(prep, scene, group=group,
                                min_count=min_count)
@@ -54,8 +53,7 @@ def _render_both(scene, settings, S=2048, B=256, W=48, H=48, seed=5,
                                          photon_grid=photon_grid)
     a2, c2, k2 = wavefront.render_queue_flat(prep, scene, settings, camera,
                                              pix, W, H, jnp.uint32(seed), B,
-                                             photon_grid=photon_grid,
-                                             shortlist_k=k)
+                                             photon_grid=photon_grid)
     return (np.asarray(a1), np.asarray(c1), np.asarray(k1),
             np.asarray(a2), np.asarray(c2), np.asarray(k2))
 
@@ -71,9 +69,14 @@ def test_flat_matches_queue_triangle_cloud():
     assert a1.sum() > 0
 
 
-def test_flat_rescan_exact_with_tiny_shortlist():
-    """shortlist_k=2 forces constant rescans; result must be identical
-    to a deep shortlist (exactness never depends on K)."""
+def test_flat_lane_count_independent():
+    """Per-path radiance is a pure function of the queue slot's RNG
+    stream, so the per-pixel result must not depend on the wavefront
+    width (each pixel gets exactly one sample here, so accumulation
+    order cannot differ either).  Not bit-compared: B=64 and B=256 are
+    differently-shaped programs and XLA's fusion/FMA choices can drift
+    ~1 ULP; a traversal divergence would diverge the whole downstream
+    RNG stream and blow well past this tolerance."""
     scene = _cloud_scene(n_tri=300)
     settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
                               max_bounces=3)
@@ -83,20 +86,13 @@ def test_flat_rescan_exact_with_tiny_shortlist():
     W = H = 32
     pix = jnp.arange(W * H, dtype=jnp.int32)
     outs = []
-    for k in (2, 16):
+    for lanes in (64, 256):
         a, c, _ = wavefront.render_queue_flat(
-            prep, scene, settings, camera, pix, W, H, jnp.uint32(9), 128,
-            shortlist_k=k)
+            prep, scene, settings, camera, pix, W, H, jnp.uint32(9), lanes)
         outs.append((np.asarray(a), np.asarray(c)))
-    (a2, c2), (a16, c16) = outs
-    assert (c2 == c16).all()
-    # Same pixel set, same paths, same traversal decisions.  Not
-    # bit-identical: k=2 and k=16 are differently-shaped programs and
-    # XLA's fusion/FMA-contraction choices differ between them, giving
-    # ~1-ULP drift on a handful of values.  A genuinely skipped cluster
-    # would change a nearest hit and diverge the path's whole RNG
-    # stream — a macroscopic diff this tolerance would catch.
-    np.testing.assert_allclose(a16, a2, rtol=3e-7, atol=3e-7)
+    (a64, c64), (a256, c256) = outs
+    assert (c64 == c256).all()
+    np.testing.assert_allclose(a256, a64, rtol=3e-7, atol=3e-7)
 
 
 def test_flat_matches_queue_multi_family():

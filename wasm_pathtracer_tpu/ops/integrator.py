@@ -462,6 +462,11 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         return (jnp.zeros((HW, 3), jnp.float32), counts,
                 jnp.zeros((B,), jnp.int32))
     light_tab = _light_table(scene)
+    # lane ring capacity: ceil(S/B) guarantees no stranded queue slot
+    # (all lanes capped implies B*K >= S paths recorded); slack covers
+    # lane imbalance.  See the deferred-accumulation note below.
+    K = -(-S // B)
+    K += max(2, K // 2)
 
     def gen(sidx):
         """Primary ray for queue slot ``sidx`` (clamped; masked later)."""
@@ -486,8 +491,14 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         absorb=jnp.zeros((B, 3), jnp.float32),
         bounce=jnp.zeros((B,), jnp.uint32),
         pid=pid0, rid=rid0,
-        accum=jnp.zeros((HW, 3), jnp.float32),
-        counts=jnp.zeros((HW,), jnp.int32),
+        # deferred frame records: a TPU scatter-add costs ~4 ms at 32k
+        # updates nearly independent of update count, so splatting every
+        # bounce iteration would dominate the loop.  Finished paths
+        # record into a lane-local ring via a dense one-hot write; ONE
+        # scatter after the loop folds the records into the frame.
+        ring_col=jnp.zeros((K, B, 3), jnp.float32),
+        ring_pid=jnp.full((K, B), HW, jnp.int32),   # HW = drop sentinel
+        k_lane=jnp.zeros((B,), jnp.int32),
         # per-lane int32 cost: exact (a scalar f32 accumulator rounds
         # past 2^24); callers reduce host-side in int64
         cost=jnp.zeros((B,), jnp.int32),
@@ -510,21 +521,21 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         done = was & (~alive | (bounce >= jnp.uint32(settings.max_bounces)))
         alive = alive & ~done
 
-        # splat finished paths (dead lanes add zeros to pixel st.pid);
-        # mode="drop" discards out-of-range pixel ids, which lets a
-        # sharded caller pad its queue shard with the sentinel H*W
-        accum = st["accum"].at[st["pid"]].add(
-            jnp.where(done[:, None], col, 0.0), mode="drop")
-        counts = st["counts"].at[st["pid"]].add(done.astype(jnp.int32),
-                                                mode="drop")
+        # record finished paths into the lane ring (dense one-hot write)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (K, B), 0)
+               == st["k_lane"][None, :]) & done[None, :]
+        ring_col = jnp.where(sel[..., None], col[None], st["ring_col"])
+        ring_pid = jnp.where(sel, st["pid"][None], st["ring_pid"])
+        k_lane = st["k_lane"] + done.astype(jnp.int32)
 
-        # regenerate: finished lanes claim the next queue slots in lane
-        # order (deterministic — a pure function of the done mask)
-        ranks = jnp.cumsum(done.astype(jnp.int32)) - 1
+        # regenerate: finished lanes with ring capacity left claim the
+        # next queue slots in lane order (deterministic)
+        claimable = done & (k_lane < K)
+        ranks = jnp.cumsum(claimable.astype(jnp.int32)) - 1
         new_sidx = st["issued"] + ranks
-        can = done & (new_sidx < S)
-        issued = jnp.minimum(st["issued"] + jnp.sum(done.astype(jnp.int32)),
-                             S)
+        can = claimable & (new_sidx < S)
+        issued = jnp.minimum(
+            st["issued"] + jnp.sum(claimable.astype(jnp.int32)), S)
         pid_n, rid_n, o_n, d_n = gen(new_sidx)
 
         canc = can[:, None]
@@ -540,11 +551,19 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
             bounce=jnp.where(can, jnp.uint32(0), bounce),
             pid=jnp.where(can, pid_n, st["pid"]),
             rid=jnp.where(can, rid_n, st["rid"]),
-            accum=accum, counts=counts, cost=cost,
+            ring_col=ring_col, ring_pid=ring_pid, k_lane=k_lane,
+            cost=cost,
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    return st["accum"], st["counts"], st["cost"]
+    # the ONE frame scatter: unwritten ring slots carry the HW sentinel
+    # and drop; a sharded caller's queue-pad paths (pixel id >= H*W)
+    # drop the same way
+    rp = st["ring_pid"].reshape(-1)
+    accum = jnp.zeros((HW, 3), jnp.float32).at[rp].add(
+        st["ring_col"].reshape(-1, 3), mode="drop")
+    counts = jnp.zeros((HW,), jnp.int32).at[rp].add(1, mode="drop")
+    return accum, counts, st["cost"]
 
 
 def trace_depth(prep, scene, o, d):

@@ -1,0 +1,321 @@
+"""Pallas TPU kernel for the cluster probe: per-lane block gather + test.
+
+The probe step of the cluster traversal (``ops.cluster.trace_clusters``
+and ``ops.wavefront.render_queue_flat``) is, per round: every lane
+gathers *its own* cluster's (G, 9) parameter block and tests all G
+primitives.  Under XLA this is a ``jnp.take`` that materializes a
+(B, G, 9) gather result to HBM and reads it back — measured 3.5 ms per
+round at B=32k on a v5e (~43 GB/s effective, ~10x off HBM speed),
+which made the gather the dominant cost of mesh-scale rendering.
+
+The TPU-native fix exploits that a whole cluster table is small: at
+G=128 and 100k primitives it is ~790 clusters x 16 rows x 128 lanes x
+4 B = 6.5 MB — it FITS IN VMEM (~16 MB/core).  So the kernel keeps the
+entire table VMEM-resident (fetched from HBM once per dispatch), and
+each grid step serves 8 lanes: their cluster indices arrive in SMEM,
+each index dynamically slices a (16, 128) tile out of the table (a
+VMEM-local move, no HBM traffic at all), the 8 tiles are re-stacked
+into (8, 128) parameter rows, and the masked type-switched
+intersection test runs at full (8, 128) VPU occupancy.
+
+Table layout (``pack_table``): row-major (C, 16, G) f32 —
+rows 0-8 the primitive parameter rows transposed (params on sublanes,
+slots on lanes), row 9 the PrimType code as f32 (-1 padding), rows
+10-15 zero padding to the 16-sublane f32 tile so every cluster's tile
+is tile-aligned for the dynamic slice.
+
+The test formulas transcribe ``ops.cluster._block_test``'s per-family
+kernels verbatim (which in turn cite the reference per primitive), so
+the Pallas and XLA probe paths agree to FMA rounding.  Only the
+families present in the structure are compiled in.
+
+Not differentiable (Pallas); like the fused megakernel this is gated
+on ``ScenePrep.use_fused`` — forward rendering only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wasm_pathtracer_tpu.models.scene import PrimType
+
+LANE_GROUP = 8          # lanes served per grid step (f32 sublane count)
+TABLE_ROWS = 16         # 9 params + 1 type code, padded to 2 f32 tiles
+VMEM_TABLE_BYTES = 8 * 2 ** 20   # table budget; beyond it, XLA fallback
+
+_EPS_SLACK = 0.1 * 2e-4          # triangle.rs:44
+_TORUS_STEPS = 24
+_TORUS_NEWTON = 4
+_TORUS_OMEGA = 1.6
+_TORUS_TOL = 1e-4
+
+
+def fits_vmem(cs) -> bool:
+    """Whether the cluster table fits the kernel's VMEM budget."""
+    C, G = cs.blocks.shape[0], cs.blocks.shape[1]
+    return G == 128 and C * TABLE_ROWS * G * 4 <= VMEM_TABLE_BYTES
+
+
+def pack_table(cs):
+    """(C, G, 9) blocks + (C, G) btype -> (C, 16, G) kernel table.
+
+    Runs inside jit; build it OUTSIDE any traversal loop (it is
+    loop-invariant) and pass it to :func:`probe_blocks`.
+    """
+    C, G, _ = cs.blocks.shape
+    params = jnp.transpose(cs.blocks, (0, 2, 1))          # (C, 9, G)
+    btype = cs.btype.astype(jnp.float32)[:, None, :]      # (C, 1, G)
+    pad = jnp.zeros((C, TABLE_ROWS - 10, G), jnp.float32)
+    return jnp.concatenate([params, btype, pad], axis=1)
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _nz(x, eps=1e-30):
+    return jnp.where(jnp.abs(x) < eps, eps, x)
+
+
+def _tri_test(A, o, d):
+    """Transcription of ``cluster._tri_block_test`` on (8, G) rows."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = A[:9]
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    nx, ny, nzz = _cross(e1x, e1y, e1z, e2x, e2y, e2z)
+    ndd = _nz(_dot(nx, ny, nzz, dx, dy, dz))
+    t = (_dot(nx, ny, nzz, v0x, v0y, v0z)
+         - _dot(nx, ny, nzz, ox, oy, oz)) / ndd
+    inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nzz * nzz,
+                                        1e-30))
+    px = ox + dx * t
+    py = oy + dy * t
+    pz = oz + dz * t
+
+    def left_of(ax, ay, az, bx, by, bz):
+        cx, cy, cz = _cross(bx - ax, by - ay, bz - az,
+                            px - ax, py - ay, pz - az)
+        s = _dot(cx, cy, cz, nx, ny, nzz)
+        return s * inv_len + _EPS_SLACK >= 0.0
+
+    inside = left_of(v0x, v0y, v0z, v1x, v1y, v1z)
+    inside &= left_of(v1x, v1y, v1z, v2x, v2y, v2z)
+    inside &= left_of(v2x, v2y, v2z, v0x, v0y, v0z)
+    return jnp.where(inside & (t > 0.0), t, jnp.inf)
+
+
+def _sphere_test(A, o, d):
+    """``cluster._sphere_block_test``."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    cx, cy, cz, rad = A[0], A[1], A[2], A[3]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    b = 2.0 * _dot(ocx, ocy, ocz, dx, dy, dz)
+    c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    sq = jnp.where(disc > 0.0, sq, 0.0)
+    t0 = (-b + sq) * 0.5
+    t1 = (-b - sq) * 0.5
+    tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+    t = jnp.where(tn > 0.0, tn, tf)
+    ok = (disc >= 0.0) & (t > 0.0) & (rad > 0.0)
+    return jnp.where(ok, t, jnp.inf)
+
+
+def _aarect_test(A, o, d):
+    """``cluster._aarect_block_test``."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    ix, iy, iz = 1.0 / _nz(dx), 1.0 / _nz(dy), 1.0 / _nz(dz)
+    ax1 = (A[0] - ox) * ix
+    ay1 = (A[1] - oy) * iy
+    az1 = (A[2] - oz) * iz
+    ax2 = (A[3] - ox) * ix
+    ay2 = (A[4] - oy) * iy
+    az2 = (A[5] - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(ax1, ax2),
+                                   jnp.minimum(ay1, ay2)),
+                       jnp.minimum(az1, az2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(ax1, ax2),
+                                   jnp.maximum(ay1, ay2)),
+                       jnp.maximum(az1, az2))
+    t = jnp.where(tmin > 0.0, tmin, tmax)
+    return jnp.where((tmin < tmax) & (t > 0.0), t, jnp.inf)
+
+
+def _square_test(A, o, d):
+    """``cluster._square_block_test``."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    ndd = _nz(dy)
+    t = (A[1] - oy) / ndd
+    px = ox + dx * t
+    pz = oz + dz * t
+    inside = (2.0 * jnp.abs(px - A[0]) < A[3]) \
+        & (2.0 * jnp.abs(pz - A[2]) < A[3])
+    return jnp.where(inside & (t > 0.0) & (dy != 0.0), t, jnp.inf)
+
+
+def _torus_test(A, o, d):
+    """``cluster._torus_block_test`` == ``intersect.tori_march`` on
+    component rows (over-relaxed sphere march + Newton polish)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    lox, loy, loz = ox - A[0], oy - A[1], oz - A[2]
+    bigr, smr = A[3], A[4]
+    extx = bigr + smr
+    ix, iy, iz = 1.0 / _nz(dx), 1.0 / _nz(dy), 1.0 / _nz(dz)
+    ax1 = (-extx - lox) * ix
+    ax2 = (extx - lox) * ix
+    ay1 = (-smr - loy) * iy
+    ay2 = (smr - loy) * iy
+    az1 = (-extx - loz) * iz
+    az2 = (extx - loz) * iz
+    t_in = jnp.maximum(jnp.maximum(jnp.minimum(ax1, ax2),
+                                   jnp.minimum(ay1, ay2)),
+                       jnp.minimum(az1, az2))
+    t_out = jnp.minimum(jnp.minimum(jnp.maximum(ax1, ax2),
+                                    jnp.maximum(ay1, ay2)),
+                        jnp.maximum(az1, az2))
+    hit_box = (t_in < t_out) & (t_out > 0.0)
+
+    def sdf(t):
+        pxl = lox + dx * t
+        pyl = loy + dy * t
+        pzl = loz + dz * t
+        qx = jnp.sqrt(jnp.maximum(pxl * pxl + pzl * pzl, 1e-24)) - bigr
+        return jnp.sqrt(jnp.maximum(qx * qx + pyl * pyl, 1e-24)) - smr
+
+    def dsdf(t):
+        pxl = lox + dx * t
+        pyl = loy + dy * t
+        pzl = loz + dz * t
+        rho = jnp.sqrt(jnp.maximum(pxl * pxl + pzl * pzl, 1e-24))
+        qx = rho - bigr
+        ql = jnp.sqrt(jnp.maximum(qx * qx + pyl * pyl, 1e-24))
+        drho = (pxl * dx + pzl * dz) / rho
+        return (qx * drho + pyl * dy) / ql
+
+    t = jnp.maximum(t_in, 1e-4)
+    sign0 = jnp.sign(sdf(t))
+    sign0 = jnp.where(sign0 == 0.0, 1.0, sign0)
+
+    # f32 relaxation flag: Mosaic cannot carry vector bools in scf.for
+    def march(_, st):
+        t, dist, relaxed = st
+        step = dist * (1.0 + (_TORUS_OMEGA - 1.0) * relaxed)
+        t2_ = t + jnp.where((dist > _TORUS_TOL) & (t < t_out), step, 0.0)
+        d2 = sign0 * sdf(t2_)
+        accept = (step <= _TORUS_TOL) | (d2 + dist >= step)
+        return (jnp.where(accept, t2_, t), jnp.where(accept, d2, dist),
+                accept.astype(jnp.float32))
+
+    t, _, _ = jax.lax.fori_loop(
+        0, _TORUS_STEPS, march,
+        (t, sign0 * sdf(t), jnp.ones(t.shape, jnp.float32)))
+
+    def newton(_, t):
+        f = sign0 * sdf(t)
+        fp = sign0 * dsdf(t)
+        fp = jnp.where(jnp.abs(fp) < 1e-6,
+                       jnp.where(fp < 0, -1e-6, 1e-6), fp)
+        tn = jnp.clip(t - f / fp, jnp.maximum(t_in, 1e-4), t_out)
+        return jnp.where(jnp.abs(f) > 1e-6, tn, t)
+
+    t = jax.lax.fori_loop(0, _TORUS_NEWTON, newton, t)
+    ok = hit_box & (jnp.abs(sdf(t)) <= 10.0 * _TORUS_TOL) & (t > 0.0) \
+        & (t <= t_out + _TORUS_TOL)
+    return jnp.where(ok, t, jnp.inf)
+
+
+_TESTS = {
+    int(PrimType.TRIANGLE): _tri_test,
+    int(PrimType.SPHERE): _sphere_test,
+    int(PrimType.TORUS): _torus_test,
+    int(PrimType.AARECT): _aarect_test,
+    int(PrimType.SQUARE): _square_test,
+}
+
+
+def _make_kernel(families, G):
+    def kernel(cidx_ref, rays_ref, tab_ref, t_ref):
+        # cidx_ref: (1, 8) SMEM int32; rays_ref: (1, 8, 8) VMEM
+        # (ox oy oz dx dy dz _ _); tab_ref: (C, 16, G) VMEM (whole
+        # table); t_ref: (8, G) out.
+        rays = rays_ref[0]                                # (8, 8)
+        tiles = []
+        for j in range(LANE_GROUP):
+            c = cidx_ref[0, 0, j]
+            tiles.append(tab_ref[pl.ds(c, 1), :, :][0])
+        # re-stack: parameter row k for the 8 lanes -> (8, G)
+        A = [jnp.concatenate([tl[k:k + 1, :] for tl in tiles], axis=0)
+             for k in range(10)]
+        o = (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3])    # (8, 1) each
+        d = (rays[:, 3:4], rays[:, 4:5], rays[:, 5:6])
+        btype = A[9]
+        t = jnp.full((LANE_GROUP, G), jnp.inf, jnp.float32)
+        for fam in families:
+            tf = _TESTS[fam](A, o, d)
+            t = jnp.where(btype == jnp.float32(fam), tf, t)
+        t_ref[...] = t
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("families",))
+def _probe_call(table, rays, cidx, families):
+    C, ROWS, G = table.shape
+    NG = cidx.shape[0]                                    # B / 8 groups
+    kernel = _make_kernel(families, G)
+    return pl.pallas_call(
+        kernel,
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, 1, LANE_GROUP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANE_GROUP, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ROWS, G), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LANE_GROUP, G), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NG * LANE_GROUP, G), jnp.float32),
+    )(cidx, rays, table)
+
+
+def probe_blocks(cs, table, o, d, cidx):
+    """Per-lane cluster block test: the Pallas twin of
+    ``jnp.take(blocks) + cluster._block_test``.
+
+    Args:
+      cs: the ClusterSet (for static family/shape info).
+      table: :func:`pack_table` output — build once per dispatch,
+        outside the traversal loop.
+      o, d: (B, 3) rays.
+      cidx: (B,) int32 cluster index per lane (clamped to [0, C)).
+
+    Returns (B, G) candidate distances, +inf on miss/padding.
+    """
+    B = o.shape[0]
+    G = cs.blocks.shape[1]
+    C = cs.blocks.shape[0]
+    pad = (-B) % LANE_GROUP
+    rays = jnp.concatenate([o, d, jnp.zeros((B, 2), jnp.float32)], axis=1)
+    rays = jnp.pad(rays, ((0, pad), (0, 0))).reshape(-1, LANE_GROUP, 8)
+    cidx = jnp.clip(cidx, 0, C - 1)
+    cidx = jnp.pad(cidx, (0, pad)).reshape(-1, 1, LANE_GROUP)
+    t = _probe_call(table, rays, cidx, cs.families)
+    return t[:B]

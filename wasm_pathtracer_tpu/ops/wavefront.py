@@ -14,16 +14,19 @@ applied one level deeper (the reference's analog is the per-ray early
 ``return`` inside the recursive descent, ``scene.rs:218-288``).  Each
 lane carries a tiny state machine:
 
-  SCAN   rebuild the lane's nearest-cluster shortlist: one dense trace
-         over the non-clustered families (``trace_scene`` with the
-         cluster detached — the fused Pallas megakernel when enabled)
-         plus a rays x cluster-AABB slab pass folded into a top-K
-         nearest shortlist (``lax.top_k``);
-  PROBE  walk the shortlist cursor one cluster per iteration: gather
-         that cluster's (G, 9) block, masked type-switched dense test
-         (``ops.cluster._block_test``), fold into the running nearest;
-         stop when the next entry distance exceeds the running best —
-         the reference's ``max_dis`` pruning (``scene.rs:262-288``);
+  SCAN   start a trace: one dense pass over the non-clustered families
+         (``trace_scene`` with the cluster detached — the fused Pallas
+         megakernel when enabled) plus a rays x cluster-AABB slab test
+         whose per-cluster entry distances become the lane's carried
+         candidate row;
+  PROBE  one cluster per iteration: argmin of the candidate row picks
+         the nearest unvisited cluster (ties to the lowest id — the
+         same (entry, id) order as the lockstep retire loop), its
+         (G, 9) block is gathered and tested densely with the masked
+         type switch (``ops.cluster._block_test``), and the entry is
+         retired to +inf; a lane stops when its nearest remaining entry
+         exceeds its running best — the reference's ``max_dis`` pruning
+         (``scene.rs:262-288``);
   SHADE  the estimator step (:func:`ops.integrator._shade_core` — the
          exact code the lockstep drivers run), which may emit a
          deferred NEE shadow query: the lane then traces the shadow
@@ -36,15 +39,39 @@ Every outer iteration advances *every* live lane one micro-step, so no
 lane ever waits for another's traversal: the probe work per iteration
 is one dense (lanes x G) block test at full occupancy.
 
-Exactness: the shortlist walk visits clusters in ascending
-``(entry_distance, cluster_id)`` order — identical to the retire-loop's
-``argmin`` order (ties break to the lowest id in both) — and when a
-lane exhausts its K entries with the last one still closer than its
-best hit, it RESCANS with a lexicographic ``(entry, id)`` skip filter,
-so the probe sequence is exactly the nearest-first sequence regardless
-of K.  Per-path radiance is bit-identical to ``render_queue`` (same
-RNG slots, same estimator code, same nearest-hit tie-breaking); only
-the per-pixel float accumulation order differs.
+Because the visit order is ascending ``(entry, id)``, the entire
+"already visited" state is a TWO-SCALAR LEX CURSOR per lane:
+``(skip_e, skip_c)`` — the last visited (entry, id).  Each iteration
+recomputes the slab entries (0.55 ms at 32k lanes x 550 clusters on a
+v5e), masks everything lex-<= the cursor, and takes the lex-min.  Two
+earlier designs were measured and rejected: a sorted top-k shortlist
+(``lax.top_k`` costs 7.9 ms/iteration and needs a rescan protocol to
+stay exact) and a carried (lanes, C) entry matrix with argmin-retire
+(exact, but carries 72 MB through the loop and pays a (lanes, C)
+retire write every iteration).
+
+Two more v5e-measured costs shape the loop:
+
+- The per-lane block gather+test runs as a Pallas kernel with the whole
+  cluster table VMEM-resident (``ops.probe_pallas``, 1.0 ms/round at
+  32k lanes vs 3.5 ms for XLA's HBM-materializing ``jnp.take``) when
+  the table fits and ``prep.use_fused`` allows Pallas.
+- Frame accumulation is DEFERRED: a TPU scatter-add costs ~4 ms at 32k
+  updates nearly independent of the update count, so splatting every
+  iteration would dominate the loop.  Finished paths instead record
+  (pixel, color) into a lane-local ring buffer via a dense one-hot
+  write (~0.1 ms), and ONE scatter at the end of the dispatch folds
+  all records into the frame.  Ring capacity K = ceil(S/B) + slack;
+  a lane that fills its ring stops claiming new paths, and since all
+  lanes capped implies B*K >= S paths issued, no queue slot can ever
+  be stranded.
+
+Exactness: argmin-retire visits clusters in ascending
+``(entry_distance, cluster_id)`` order — identical to the lockstep
+``trace_clusters`` loop — and per-path radiance is bit-identical to
+``render_queue`` (same RNG slots, same estimator code, same
+nearest-hit tie-breaking); only the per-pixel float accumulation order
+differs.
 
 Shadow rays resolve nearest-hit semantics identical to
 ``trace.shadow_ray`` (the sampled light shape does not occlude), with
@@ -56,7 +83,6 @@ cost metric) can undercount the lockstep path's — never the verdict.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -64,51 +90,22 @@ import jax.numpy as jnp
 from wasm_pathtracer_tpu.config import RenderSettings
 from wasm_pathtracer_tpu.models.camera import Camera, primary_rays
 from wasm_pathtracer_tpu.ops import cluster as cl
+from wasm_pathtracer_tpu.ops import probe_pallas as pp
 from wasm_pathtracer_tpu.ops import trace as tr
 from wasm_pathtracer_tpu.ops import integrator as itg
 from wasm_pathtracer_tpu.utils import rng as rnglib
 from wasm_pathtracer_tpu.utils import vecmath as vm
 
-# shortlist length: candidate clusters per scan.  Deep enough that
-# rescans are rare on the 100k-cloud workload; exactness never depends
-# on it (see module docstring).
-SHORTLIST_K = 12
-
-_NEG_INF = jnp.float32(-jnp.inf)
-
-
-def _scan_shortlist(cs: cl.ClusterSet, o, d, bound, skip_e, skip_c, k: int):
-    """Nearest-K cluster shortlist for each ray.
-
-    ``bound``: entries >= bound can never contribute (the running best
-    hit / shadow distance) and are dropped.  ``(skip_e, skip_c)``: the
-    lexicographic (entry, id) position already consumed — a rescan
-    continues strictly after it; fresh scans pass (-inf, -1).
-
-    Returns (sl_ent (R, k) ascending, sl_ids (R, k)); missing
-    candidates are +inf.
-    """
-    ent = cl._rays_vs_boxes(o, d, cs.lo, cs.hi)            # (R, C)
-    cid = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
-    keep = (ent > skip_e[:, None]) | ((ent == skip_e[:, None])
-                                      & (cid > skip_c[:, None]))
-    keep &= ent < bound[:, None]
-    ent = jnp.where(keep, ent, jnp.inf)
-    # top_k of the negated entries = smallest-k; ties resolve to the
-    # lowest index (lax.top_k is stable), giving (entry, id) lex order
-    neg, ids = jax.lax.top_k(-ent, k)
-    return -neg, ids
-
 
 def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
                       camera: Camera, pix_queue, width: int, height: int,
                       seed, n_lanes: int, photon_grid=None, rid_base=0,
-                      shortlist_k: int = SHORTLIST_K):
+                      return_iters: bool = False):
     """Persistent wavefront with flattened cluster traversal.
 
     Same contract as :func:`ops.integrator.render_queue` (same queue
     semantics, same RNG keying, same return triple) — requires
-    ``prep.cluster``; the driver picks this form for cluster scenes.
+    ``prep.cluster``; the session picks this form for cluster scenes.
 
     Returns (color_sum (H*W, 3), n_samples (H*W,) int32, lane_cost
     (n_lanes,) int32).
@@ -119,21 +116,31 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     B = n_lanes
     G = cs.blocks.shape[1]
     C = cs.blocks.shape[0]
-    K = min(shortlist_k, C)   # a shortlist can't exceed the cluster count
     HW = width * height
+    def _early(counts):
+        out = (jnp.zeros((HW, 3), jnp.float32), counts,
+               jnp.zeros((B,), jnp.int32))
+        return out + (jnp.int32(0),) if return_iters else out
     if S == 0:
-        return (jnp.zeros((HW, 3), jnp.float32), jnp.zeros((HW,), jnp.int32),
-                jnp.zeros((B,), jnp.int32))
+        return _early(jnp.zeros((HW,), jnp.int32))
     if settings.max_bounces == 0:
-        counts = jnp.zeros((HW,), jnp.int32).at[pix_queue].add(1)
-        return (jnp.zeros((HW, 3), jnp.float32), counts,
-                jnp.zeros((B,), jnp.int32))
+        return _early(jnp.zeros((HW,), jnp.int32).at[pix_queue].add(1))
 
     light_tab = itg._light_table(scene)
     prep_nc = dataclasses.replace(prep, cluster=None)
     sid_grid = cs.slot_to_sid.reshape(C, G)
     eps = settings.epsilon
     max_b = jnp.uint32(settings.max_bounces)
+
+    # Pallas probe kernel when the table fits VMEM and Pallas is allowed
+    # (prep.use_fused is the session's "forward-only fast paths" switch)
+    use_pp = prep.use_fused and pp.fits_vmem(cs)
+    table = pp.pack_table(cs) if use_pp else None
+
+    # ring capacity: ceil(S/B) guarantees no stranded queue slot (all
+    # lanes capped => B*K >= S paths recorded); slack covers imbalance
+    K = -(-S // B)
+    K += max(2, K // 2)
 
     def gen(sidx):
         """Primary ray for queue slot ``sidx`` (clamped; masked later)."""
@@ -165,22 +172,22 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         shadow=jnp.zeros((B,), bool),    # tracing a shadow query?
         t_best=jnp.full((B,), jnp.inf, jnp.float32),
         sid_best=jnp.full((B,), -1, jnp.int32),
-        sl_ent=jnp.full((B, K), jnp.inf, jnp.float32),
-        sl_ids=jnp.zeros((B, K), jnp.int32),
-        cur=jnp.full((B,), K, jnp.int32),
+        # lex cursor over the ascending (entry, id) visit order: the
+        # last probed (entry, id); fresh traces reset to (-inf, -1)
         skip_e=jnp.full((B,), -jnp.inf, jnp.float32),
         skip_c=jnp.full((B,), -1, jnp.int32),
         need_scan=sidx0 < S,
-        fresh=sidx0 < S,
         # --- pending NEE query (set at shade, used at resolve) --------
         pend_contrib=f3(),
         pend_dist=jnp.zeros((B,), jnp.float32),
         pend_lsid=jnp.zeros((B,), jnp.int32),
         pend_cont=jnp.zeros((B,), bool),  # path survives past this bounce
-        # --- frame ----------------------------------------------------
-        accum=jnp.zeros((HW, 3), jnp.float32),
-        counts=jnp.zeros((HW,), jnp.int32),
+        # --- deferred frame records (scattered once, at the end) ------
+        ring_col=jnp.zeros((K, B, 3), jnp.float32),
+        ring_pid=jnp.full((K, B), HW, jnp.int32),    # HW = drop sentinel
+        k_lane=jnp.zeros((B,), jnp.int32),
         cost=jnp.zeros((B,), jnp.int32),
+        iters=jnp.int32(0),   # loop-iteration diagnostic (scalar +1)
     )
 
     def cond(st):
@@ -191,31 +198,40 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         tr_o, tr_d = st["tr_o"], st["tr_d"]
         shadow = st["shadow"]
 
-        # ---- SCAN: dense trace + shortlist rebuild --------------------
+        # ---- SCAN: dense trace for freshly started traces --------------
         scan = live & st["need_scan"]
-        fresh = scan & st["fresh"]
         t_d, sid_d, hit_d, c_d = tr.trace_scene(prep_nc, scene, tr_o, tr_d)
-        t_best = jnp.where(fresh, t_d, st["t_best"])
-        sid_best = jnp.where(fresh, sid_d, st["sid_best"])
-        cost = st["cost"] + jnp.where(fresh, c_d, 0)
+        t_best = jnp.where(scan, t_d, st["t_best"])
+        sid_best = jnp.where(scan, sid_d, st["sid_best"])
+        cost = st["cost"] + jnp.where(scan, c_d, 0)
+        skip_e = jnp.where(scan, -jnp.inf, st["skip_e"])
+        skip_c = jnp.where(scan, -1, st["skip_c"])
 
+        # ---- PROBE: lex-min unvisited cluster per lane ------------------
+        # entries are recomputed every iteration; "visited" is the lex
+        # cursor (skip_e, skip_c) since the visit order is ascending
+        ent = cl._rays_vs_boxes(tr_o, tr_d, cs.lo, cs.hi)    # (B, C)
+        cid = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
+        unvisited = (ent > skip_e[:, None]) | \
+            ((ent == skip_e[:, None]) & (cid > skip_c[:, None]))
+        ent = jnp.where(unvisited, ent, jnp.inf)
+        e_cur = jnp.min(ent, axis=1)
+        # lex tie-break: among entries equal to e_cur, the lowest id
+        c_cur = jnp.min(jnp.where(ent == e_cur[:, None], cid, C),
+                        axis=1)
+        c_cur = jnp.minimum(c_cur, C - 1)
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
-        sl_ent_n, sl_ids_n = _scan_shortlist(
-            cs, tr_o, tr_d, bound, st["skip_e"], st["skip_c"], K)
-        sl_ent = jnp.where(scan[:, None], sl_ent_n, st["sl_ent"])
-        sl_ids = jnp.where(scan[:, None], sl_ids_n, st["sl_ids"])
-        cur = jnp.where(scan, 0, st["cur"])
+        probing = live & (e_cur < bound)
+        skip_e = jnp.where(probing, e_cur, skip_e)
+        skip_c = jnp.where(probing, c_cur, skip_c)
 
-        # ---- PROBE: one cluster per lane ------------------------------
-        cur_c = jnp.clip(cur, 0, K - 1)
-        e_cur = jnp.take_along_axis(sl_ent, cur_c[:, None], 1)[:, 0]
-        c_cur = jnp.take_along_axis(sl_ids, cur_c[:, None], 1)[:, 0]
-        probing = live & (cur < K) & (e_cur < bound)
-
-        block = jnp.take(cs.blocks, c_cur, axis=0)          # (B, G, 9)
-        btype = jnp.take(cs.btype, c_cur, axis=0)           # (B, G)
-        t_blk = cl._block_test(tr_o, tr_d, block, btype, cs.families)
+        if use_pp:
+            t_blk = pp.probe_blocks(cs, table, tr_o, tr_d, c_cur)
+        else:
+            block = jnp.take(cs.blocks, c_cur, axis=0)      # (B, G, 9)
+            btype = jnp.take(cs.btype, c_cur, axis=0)       # (B, G)
+            t_blk = cl._block_test(tr_o, tr_d, block, btype, cs.families)
         t_blk = jnp.where(probing[:, None], t_blk, jnp.inf)
         jloc = jnp.argmin(t_blk, axis=1).astype(jnp.int32)
         tloc = jnp.min(t_blk, axis=1)
@@ -224,22 +240,17 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         better = tloc < t_best
         t_best = jnp.where(better, tloc, t_best)
         sid_best = jnp.where(better, sid_loc, sid_best)
-        cur = cur + probing.astype(jnp.int32)
         cost = cost + jnp.where(probing, G, 0)
 
-        # ---- completion / rescan decision -----------------------------
+        # ---- completion ------------------------------------------------
+        # next candidate strictly after the (possibly advanced) cursor
+        e_next = jnp.where(probing, jnp.min(
+            jnp.where((ent > e_cur[:, None]) |
+                      ((ent == e_cur[:, None]) & (cid > c_cur[:, None])),
+                      ent, jnp.inf), axis=1), e_cur)
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
-        last_e = sl_ent[:, K - 1]
-        rescan = live & (cur >= K) & jnp.isfinite(last_e) & (last_e < bound)
-        skip_e = jnp.where(rescan, last_e, st["skip_e"])
-        skip_c = jnp.where(rescan, sl_ids[:, K - 1], st["skip_c"])
-        cur_cc = jnp.clip(cur, 0, K - 1)
-        e_next = jnp.where(cur < K,
-                           jnp.take_along_axis(sl_ent, cur_cc[:, None],
-                                               1)[:, 0],
-                           jnp.inf)
-        done = live & ~rescan & (e_next >= bound)
+        done = live & (e_next >= bound)
 
         # ---- RESOLVE: finished shadow queries --------------------------
         resolve = done & shadow
@@ -298,17 +309,21 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         cont = fin & jnp.where(shadow, st["pend_cont"], cont_shade)
         end = fin & ~cont
 
-        # splat finished paths; regen from the queue (lane-order ranks,
-        # deterministic; mode="drop" discards the sharding pad sentinel)
-        accum = st["accum"].at[st["pid"]].add(
-            jnp.where(end[:, None], col, 0.0), mode="drop")
-        counts = st["counts"].at[st["pid"]].add(end.astype(jnp.int32),
-                                                mode="drop")
-        ranks = jnp.cumsum(end.astype(jnp.int32)) - 1
+        # record finished paths into the lane ring (dense one-hot write;
+        # the single frame scatter happens after the loop) and regen
+        # from the queue in lane-order ranks (deterministic)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (K, B), 0)
+               == st["k_lane"][None, :]) & end[None, :]
+        ring_col = jnp.where(sel[..., None], col[None], st["ring_col"])
+        ring_pid = jnp.where(sel, st["pid"][None], st["ring_pid"])
+        k_lane = st["k_lane"] + end.astype(jnp.int32)
+
+        claimable = end & (k_lane < K)   # ring slot left for a new path
+        ranks = jnp.cumsum(claimable.astype(jnp.int32)) - 1
         new_sidx = st["issued"] + ranks
-        can = end & (new_sidx < S)
-        issued = jnp.minimum(st["issued"] + jnp.sum(end.astype(jnp.int32)),
-                             S)
+        can = claimable & (new_sidx < S)
+        issued = jnp.minimum(
+            st["issued"] + jnp.sum(claimable.astype(jnp.int32)), S)
         pid_n, rid_n, o_p, d_p = gen(new_sidx)
         canc = can[:, None]
 
@@ -336,20 +351,25 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             tr_o=tr_o2, tr_d=tr_d2,
             shadow=jnp.where(start, pend, shadow),
             t_best=t_best, sid_best=sid_best,
-            sl_ent=sl_ent, sl_ids=sl_ids, cur=cur,
-            skip_e=jnp.where(start, _NEG_INF, skip_e),
-            skip_c=jnp.where(start, -1, skip_c),
-            need_scan=jnp.where(start, True,
-                                jnp.where(scan, rescan, st["need_scan"]
-                                          | rescan)),
-            fresh=jnp.where(start, True, jnp.where(scan, False,
-                                                   st["fresh"])),
+            skip_e=skip_e, skip_c=skip_c,
+            need_scan=jnp.where(start, True, jnp.zeros((B,), bool)),
             pend_contrib=pend_contrib,
             pend_dist=pend_dist,
             pend_lsid=pend_lsid,
             pend_cont=pend_cont,
-            accum=accum, counts=counts, cost=cost,
+            ring_col=ring_col, ring_pid=ring_pid, k_lane=k_lane,
+            cost=cost,
+            iters=st["iters"] + 1,
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    return st["accum"], st["counts"], st["cost"]
+    # the ONE frame scatter: unwritten ring slots carry the HW sentinel
+    # and drop; sharded callers' queue-pad paths carry pid >= HW and
+    # drop the same way
+    rp = st["ring_pid"].reshape(-1)
+    accum = jnp.zeros((HW, 3), jnp.float32).at[rp].add(
+        st["ring_col"].reshape(-1, 3), mode="drop")
+    counts = jnp.zeros((HW,), jnp.int32).at[rp].add(1, mode="drop")
+    if return_iters:
+        return accum, counts, st["cost"], st["iters"]
+    return accum, counts, st["cost"]
