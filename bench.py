@@ -1,16 +1,28 @@
-"""Benchmark: path-traced rays (paths) per second on one chip.
+"""Benchmark: path-traced paths per second on one chip, across the
+reference's workload classes, plus the backward (gradient) pass and a
+model-based speed-of-light fraction.
 
-Workload: the museum scene (``SURVEY.md`` flagship: 146 shapes, 108 area
-lights) at 512x512 with NEE path tracing, 8-bounce wavefront loop —
-the same estimator the reference runs per tick.  A "ray" here is one
-full path tick (the reference's unit of work: 1 tick ~ 1 primary path,
-``src/tracer.rs:99-123``), including all bounce and shadow rays.
+Headline metric (the JSON line's ``value``): museum-scene paths/s —
+the reference flagship (146 shapes, 108 area lights, ``SURVEY.md``) at
+512x512 with NEE path tracing, 8-bounce persistent wavefront.  A "ray"
+is one full path tick (the reference's unit of work: 1 tick ~ 1 primary
+path, ``src/tracer.rs:99-123``), including all bounce and shadow rays.
 
-Execution model: the persistent wavefront with path regeneration
-(``ops.integrator.render_queue``) over the fused whole-scene Pallas
-megakernel (``ops.scene_pallas``) — every lane stays occupied until the
-sample queue drains, so no scene trace is wasted on RR-dead paths
-(~2.8x the lockstep batch loop on this workload).
+``extras`` carries the other BASELINE-named workloads:
+  - ``mesh70k_paths_per_sec``: bunny-class surface mesh (~70k tris,
+    BASELINE config 3's class; reference workload slot
+    ``src_ts/client/index.ts:213-222``) through the flattened wavefront
+    + Pallas cluster kernels.
+  - ``cloud100k_paths_per_sec``: the 100k-triangle procedural cloud
+    (``index.ts:224-226``), same path.
+  - ``backward_grad_rays_per_sec``: value_and_grad of the scan-form
+    integrator on the museum w.r.t. materials + camera (BASELINE.md:
+    "backward grad rays/sec measured alongside forward"), with
+    per-bounce rematerialization.
+  - ``adaptive_1080p_paths_per_sec``: 1920x1080 variance-guided
+    adaptive sampling, single chip (BASELINE config 5's 1-chip half).
+  - ``museum_sol_pct``: achieved fraction of estimated VPU peak for the
+    museum kernel mix (see _sol_model).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 only throughput machinery it documents is the worker auto-tuner's
@@ -25,55 +37,142 @@ import time
 import numpy as np
 
 
+def _bench_queue(fn, prep, scene, settings, cam, W, H, S, B, n_iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(seed):
+        pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
+        acc, cnt, cost = fn(prep, scene, settings, cam, pix, W, H, seed, B)
+        return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum()
+
+    jax.block_until_ready(step(jnp.uint32(0)))            # compile + warm
+    t0 = time.perf_counter()
+    outs = [step(jnp.uint32(i)) for i in range(1, n_iters + 1)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    acc = sum(float(x) for x, _, _ in outs)
+    done = sum(int(c) for _, c, _ in outs)
+    tests = sum(float(t) for _, _, t in outs)
+    assert np.isfinite(acc)
+    assert done == n_iters * S, f"queue not drained: {done} != {n_iters*S}"
+    return done / dt, tests / done
+
+
+def _sol_model(scene, tests_per_path, paths_per_sec):
+    """Model-based speed-of-light fraction for the fused dense kernel
+    mix.
+
+    Per-primitive-test FLOP estimates (counted from the kernel bodies
+    in ops/scene_pallas.py; a flop = one VPU lane op, FMA = 2):
+    plane ~16, sphere ~28, triangle ~64, aarect ~20, square ~14,
+    torus ~560 (24 over-relaxed march steps + 4 Newton polishes at
+    ~17 flops per SDF/derivative eval — the march dominates the museum
+    mix).  VPU peak is estimated as 8x128 lanes x 940 MHz x 2
+    (FMA) ~ 1.9 TFLOP/s per v5e core; the MXU is idle in this kernel
+    mix (intersection math is elementwise by design — K=3 dots on the
+    MXU would run bf16 and break hit precision).  The model counts
+    only primitive-test flops, so estimator/RNG/accumulation overhead
+    makes the true fraction slightly higher than reported.
+    """
+    FLOPS = {0: 16.0, 1: 28.0, 2: 64.0, 3: 560.0, 4: 20.0, 5: 14.0}
+    ptype = np.asarray(scene.ptype)
+    n_total = len(ptype)
+    flops_per_trace = sum(FLOPS[int(t)] for t in ptype)
+    traces_per_path = tests_per_path / n_total
+    flops_per_path = traces_per_path * flops_per_trace
+    vpu_peak = 1.9e12
+    return 100.0 * paths_per_sec * flops_per_path / vpu_peak
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from wasm_pathtracer_tpu.config import RenderSettings, RenderType
     from wasm_pathtracer_tpu.models import scenes
-    from wasm_pathtracer_tpu.models.camera import initial_camera
-    from wasm_pathtracer_tpu.ops import integrator, trace
+    from wasm_pathtracer_tpu.models.camera import Camera, initial_camera
+    from wasm_pathtracer_tpu.ops import bvh, integrator, trace, wavefront
 
-    scene = scenes.museum()
-    # fused whole-scene Pallas megakernel (ops/scene_pallas.py): the
-    # forward-only fast path; falls back to XLA dense off-TPU
-    prep = trace.prepare(scene, use_fused=jax.default_backend() != "cpu")
+    on_tpu = jax.default_backend() != "cpu"
     settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
                               max_bounces=8)
-    camera = initial_camera(0)
-    W = H = 512
+    extras = {}
+
+    # -- 1. museum headline (fused megakernel, regenerating wavefront) --
+    scene = scenes.museum()
+    prep = trace.prepare(scene, use_fused=on_tpu)
     # queue/lane sweep on the v5e-class chip: (2.6M, 64k) ~ 3.5M paths/s,
     # (5.2M, 64k) ~ 3.7M; larger queues amortize the drain tail
-    S = 2_621_440   # paths per dispatch (80 spp over 512x512)
-    B = 65_536      # wavefront lanes
+    museum_pps, museum_tpp = _bench_queue(
+        integrator.render_queue, prep, scene, settings, initial_camera(0),
+        512, 512, S=2_621_440, B=65_536)
+    extras["museum_sol_pct"] = round(
+        _sol_model(scene, museum_tpp, museum_pps), 2)
+
+    # -- 2. bunny-class mesh (~70k tris) through the flat wavefront ----
+    mesh = scenes.mesh_scene(scenes.surface_mesh(188))
+    prep_m = bvh.attach_clusters(trace.prepare(mesh, use_fused=on_tpu),
+                                 mesh)
+    cam_m = Camera.create((0.0, 1.0, -6.0), 0.1, 0.0)
+    pps, _ = _bench_queue(wavefront.render_queue_flat, prep_m, mesh,
+                          settings, cam_m, 512, 512, S=524_288, B=32_768)
+    extras["mesh70k_paths_per_sec"] = round(pps, 1)
+
+    # -- 3. 100k-triangle cloud (scene id 5) ----------------------------
+    cloud = scenes.select_scene(5)
+    prep_c = bvh.attach_clusters(trace.prepare(cloud, use_fused=on_tpu),
+                                 cloud)
+    pps, _ = _bench_queue(wavefront.render_queue_flat, prep_c, cloud,
+                          settings, initial_camera(5), 512, 512,
+                          S=524_288, B=32_768)
+    extras["cloud100k_paths_per_sec"] = round(pps, 1)
+
+    # -- 4. backward: grads of the scan-form museum render --------------
+    # (XLA dense path: Pallas is forward-only; bounce-checkpointed scan)
+    prep_g = trace.prepare(scene)
+    gset = settings.replace(early_exit=False)
+    Rg = 16_384
+    pix = jnp.arange(Rg, dtype=jnp.int32)
+    px, py = pix % 512, pix // 512
+    cam0 = initial_camera(0)
 
     @jax.jit
-    def step(seed):
-        pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
-        acc, cnt, cost = integrator.render_queue(
-            prep, scene, settings, camera, pix, W, H, seed, B)
-        return acc.sum(), cnt.sum()
+    def grad_step(albedo, camera, seed):
+        def loss(albedo, camera):
+            sc = scene.with_materials(albedo=albedo)
+            col, _ = integrator.render_pixels(prep_g, sc, gset, camera,
+                                              px, py, 512, 512, seed)
+            return jnp.mean(col ** 2)
+        l, g = jax.value_and_grad(loss, argnums=(0, 1))(albedo, camera)
+        return l, g
 
-    # warm up / compile
-    jax.block_until_ready(step(jnp.uint32(0)))
-
-    n_iters = 4
+    out = grad_step(scene.albedo, cam0, jnp.uint32(0))
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    # dispatch all steps asynchronously, sync once
-    outs = [step(jnp.uint32(i)) for i in range(1, n_iters + 1)]
+    outs = [grad_step(scene.albedo, cam0, jnp.uint32(i)) for i in (1, 2)]
     jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    acc = sum(float(x) for x, _ in outs)
-    done = sum(int(c) for _, c in outs)
-    assert np.isfinite(acc)
-    assert done == n_iters * S, f"queue not drained: {done} != {n_iters * S}"
+    extras["backward_grad_rays_per_sec"] = round(
+        2 * Rg / (time.perf_counter() - t0), 1)
 
-    rays_per_sec = n_iters * S / dt
+    # -- 5. 1080p adaptive, single chip (config 5's 1-chip half) --------
+    from wasm_pathtracer_tpu.runtime.session import Session
+    aset = settings.replace(adaptive=True, ray_batch_size=262_144,
+                            regen_lanes=65_536)
+    sess = Session(1920, 1080, scene_id=0, left=aset, right=aset)
+    sess.compute(262_144)                                 # warm both halves
+    t0 = time.perf_counter()
+    traced = sess.compute(2 * 2_097_152)
+    dt = time.perf_counter() - t0
+    extras["adaptive_1080p_paths_per_sec"] = round(traced / dt, 1)
+
     baseline = 1.0e4  # reference worker initial auto-tune rate (see above)
     print(json.dumps({
         "metric": "rays_per_sec_1chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(museum_pps, 1),
         "unit": "paths/s",
-        "vs_baseline": round(rays_per_sec / baseline, 2),
+        "vs_baseline": round(museum_pps / baseline, 2),
+        "extras": extras,
     }))
 
 

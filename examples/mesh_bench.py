@@ -28,35 +28,7 @@ from wasm_pathtracer_tpu.models.camera import Camera
 from wasm_pathtracer_tpu.ops import bvh, integrator, trace, wavefront
 
 
-def surface_mesh(n: int) -> np.ndarray:
-    """Deformed-sphere surface mesh with ~2*n^2 triangles (bunny-class
-    stand-in: the reference snapshot ships no bunny2.obj blob,
-    ``.MISSING_LARGE_BLOBS``)."""
-    th = np.linspace(0.15, np.pi - 0.15, n)
-    ph = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    T, P = np.meshgrid(th, ph, indexing="ij")
-    r = 1.5 + 0.35 * np.sin(6 * T) * np.cos(5 * P) + 0.15 * np.cos(9 * P)
-    V = np.stack([r * np.sin(T) * np.cos(P), r * np.cos(T),
-                  r * np.sin(T) * np.sin(P)], -1).astype(np.float32)
-    tris = []
-    for i in range(n - 1):
-        j = np.arange(n)
-        j2 = (j + 1) % n
-        a, b_, c, d = V[i, j], V[i, j2], V[i + 1, j], V[i + 1, j2]
-        tris.append(np.stack([a, b_, c], 1))
-        tris.append(np.stack([b_, d, c], 1))
-    return np.concatenate(tris, 0)
-
-
-def mesh_scene(tris: np.ndarray):
-    b = SceneBuilder(background=(0.05, 0.05, 0.08))
-    b.add_plane((0.0, -2.0, 0.0), (0.0, 1.0, 0.0),
-                Material.diffuse(0.8, 0.8, 0.8))
-    b.add_triangles(tris, Material.diffuse(0.9, 0.45, 0.3))
-    light = Material.emissive(14.0, 14.0, 14.0)
-    b.add_triangle((2.0, 6.0, 2.0), (2.0, 6.0, -2.0), (-2.0, 6.0, -2.0), light)
-    b.add_triangle((-2.0, 6.0, 2.0), (2.0, 6.0, 2.0), (-2.0, 6.0, -2.0), light)
-    return b.build()
+from wasm_pathtracer_tpu.models.scenes import mesh_scene, surface_mesh  # noqa: E402 (re-export for callers)
 
 
 def bench_scene(scene, label, S=262_144, B=32_768, iters=3, group=None,

@@ -131,3 +131,177 @@ def test_camera_gradient_is_finite_and_correlates_with_fd():
     assert ana != 0.0
     if abs(fd) > 1e-3:
         assert np.sign(ana) == np.sign(fd), (ana, fd)
+
+
+def _light_scene():
+    """Plane + area-light quad, NO occluders, camera pitched down so the
+    light is outside the frustum: the radiance has no visibility
+    discontinuity in the light vertices — FD isolates the smooth NEE
+    estimator terms (area, cos_o, cos_i, 1/d^2, sampled point)."""
+    from wasm_pathtracer_tpu.models.scene import SceneBuilder, Material
+    b = SceneBuilder(background=(0.1, 0.1, 0.1))
+    b.add_plane((0.0, -1.0, 0.0), (0.0, 1.0, 0.0),
+                Material.diffuse(0.8, 0.8, 0.8))
+    light = Material.emissive(8.0, 8.0, 8.0)
+    b.add_triangle((1.0, 4.0, 6.0), (1.0, 4.0, 4.0), (-1.0, 4.0, 4.0), light)
+    b.add_triangle((-1.0, 4.0, 6.0), (1.0, 4.0, 6.0), (-1.0, 4.0, 4.0), light)
+    scene = b.build()
+    cam = Camera.create((0.0, 1.5, -2.0), 0.6, 0.0)
+    return scene, cam
+
+
+def test_light_vertex_gradient_matches_fd():
+    """Light-GEOMETRY gradients (BASELINE config 4): the NEE solid-angle
+    estimator area*cos_o/d^2*cos_i and the sampled point are
+    differentiable in the light triangle vertices.  Occluder-free scene:
+    with an occluder, lifting the light sweeps its shadow boundary
+    across the image — a VISIBILITY derivative the interior-term
+    gradient does not carry (the silhouette problem, SURVEY §7(b));
+    without one, FD isolates the smooth terms and matches tightly."""
+    scene, cam = _light_scene()
+    prep = trace.prepare(scene)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+
+    def loss(light_rows, seed):
+        sc = scene.with_light_rows(light_rows)
+        col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
+                                          pix // W, W, H, jnp.uint32(seed))
+        return jnp.mean(col)
+
+    rows0 = scene.params[scene.light_shape]
+    # lift the whole light quad vertically (a smooth geometric change
+    # that moves distance, solid angle and incident cosines together)
+    direction = jnp.zeros_like(rows0).at[:, 1::3].set(1.0)
+    ana, fd = _fd_vs_grad(loss, rows0, direction, h=2e-2)
+    assert np.isfinite(ana) and ana != 0.0
+    assert np.sign(ana) == np.sign(fd), (ana, fd)
+    assert abs(ana - fd) <= 0.10 * max(abs(fd), 1e-5), (ana, fd)
+
+
+def test_light_vertex_gradient_sign_with_occluder():
+    """With an occluder (sphere_plane), FD additionally carries the
+    shadow-boundary sweep; the interior-term analytic gradient must
+    still be finite and sign-consistent (the silhouette term is
+    VERDICT/SURVEY's named open hard part for geometry)."""
+    scene = scenes.sphere_plane()
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+
+    def loss(light_rows, seed):
+        sc = scene.with_light_rows(light_rows)
+        col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
+                                          pix // W, W, H, jnp.uint32(seed))
+        return jnp.mean(col)
+
+    rows0 = scene.params[scene.light_shape]
+    direction = jnp.zeros_like(rows0).at[:, 1::3].set(1.0)
+    ana, fd = _fd_vs_grad(loss, rows0, direction, h=2e-2)
+    assert np.isfinite(ana) and ana != 0.0
+    assert np.sign(ana) == np.sign(fd), (ana, fd)
+
+
+def _pnee_setup():
+    from wasm_pathtracer_tpu.ops import photon
+    scene = scenes.sphere_plane()
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    st = RenderSettings(render_type=RenderType.PNEE, max_bounces=4,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False)
+    lo, hi = photon.grid_bounds_for_scene(scene, st)
+    grid = photon.PhotonGrid.create(scene.num_lights, lo, hi,
+                                    st.photon_grid_res)
+    for k in range(4):
+        grid = photon.emit_photons(grid, prep, scene, st,
+                                   jnp.uint32(900 + k), 2048)
+    assert int(grid.num_photons) > 0
+    return scene, prep, cam, st, grid
+
+
+def test_pnee_emission_gradient_matches_fd():
+    """Config 4: gradients THROUGH the PNEE estimator.  The photon grid
+    is a detached importance distribution (ops.photon.sample
+    stop-gradients the selection pdf — unbiased for any fixed
+    distribution), so emission stays exactly linear in the radiance and
+    the FD comparison is tight."""
+    scene, prep, cam, st, grid = _pnee_setup()
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+
+    def loss(emission, seed):
+        sc = scene.with_materials(emission=emission)
+        col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
+                                          pix // W, W, H, jnp.uint32(seed),
+                                          photon_grid=grid)
+        return jnp.mean(col)
+
+    direction = jnp.zeros_like(scene.emission).at[2:4].set(1.0)
+    ana, fd = _fd_vs_grad(loss, scene.emission, direction, h=0.05)
+    assert ana > 0
+    assert abs(ana - fd) <= 0.02 * max(abs(fd), 1e-6) + 1e-5, (ana, fd)
+
+
+def test_pnee_light_vertex_gradient_matches_fd():
+    """Config 4's hardest named leaf: light geometry under PNEE.
+    Occluder-free scene for the same reason as the NEE twin above."""
+    from wasm_pathtracer_tpu.ops import photon
+    scene, cam = _light_scene()
+    prep = trace.prepare(scene)
+    st = RenderSettings(render_type=RenderType.PNEE, max_bounces=4,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False)
+    lo, hi = photon.grid_bounds_for_scene(scene, st)
+    grid = photon.PhotonGrid.create(scene.num_lights, lo, hi,
+                                    st.photon_grid_res)
+    for k in range(4):
+        grid = photon.emit_photons(grid, prep, scene, st,
+                                   jnp.uint32(900 + k), 2048)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+
+    def loss(light_rows, seed):
+        sc = scene.with_light_rows(light_rows)
+        col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
+                                          pix // W, W, H, jnp.uint32(seed),
+                                          photon_grid=grid)
+        return jnp.mean(col)
+
+    rows0 = scene.params[scene.light_shape]
+    direction = jnp.zeros_like(rows0).at[:, 1::3].set(1.0)
+    ana, fd = _fd_vs_grad(loss, rows0, direction, h=2e-2)
+    assert np.isfinite(ana) and ana != 0.0
+    assert np.sign(ana) == np.sign(fd), (ana, fd)
+    assert abs(ana - fd) <= 0.10 * max(abs(fd), 1e-5), (ana, fd)
+
+
+def test_train_step_recovers_light_height():
+    """Inverse rendering with light-geometry leaves: gradient descent
+    moves a mis-placed area light toward the target height."""
+    from wasm_pathtracer_tpu.parallel import make_ray_mesh, make_train_step
+    scene, cam = _light_scene()
+    prep = trace.prepare(scene)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False)
+    mesh = make_ray_mesh(jax.devices()[:1])
+    from wasm_pathtracer_tpu.parallel import render_image_sharded
+    target = render_image_sharded(mesh, prep, scene, st, cam, W, H,
+                                  jnp.uint32(77), spp=4)
+    # perturb the light: lift it by +0.6
+    rows0 = scene.params[scene.light_shape]
+    wrong = scene.with_light_rows(rows0.at[:, 1::3].add(0.6))
+    step = make_train_step(mesh, prep, st, W, H, lr=2.0, spp=2,
+                           train_lights=True)
+    cur = wrong
+    h0 = float(cur.params[scene.light_shape][:, 1].mean())
+    for i in range(8):
+        loss, cur, cam2 = step(cur, cam, target, jnp.uint32(400 + i))
+    h1 = float(cur.params[scene.light_shape][:, 1].mean())
+    h_true = float(rows0[:, 1].mean())
+    assert np.isfinite(float(loss))
+    assert abs(h1 - h_true) < abs(h0 - h_true), (h0, h1, h_true)

@@ -102,23 +102,24 @@ def test_fits_vmem_gate():
 
 
 def test_flat_wavefront_with_pallas_probe_end_to_end():
-    """The flat wavefront with the Pallas probe enabled (interpret mode)
-    must match the XLA-probe flat wavefront exactly in counts and
-    tightly in radiance."""
+    """The flat wavefront with the Pallas select+probe kernels enabled
+    (interpret mode) must match the XLA-path flat wavefront exactly in
+    counts and tightly in radiance.  Kept tiny: interpret mode executes
+    the kernels in Python once per while_loop iteration."""
     import dataclasses
-    scene = _mixed_scene(n_tri=180, n_sphere=50, n_torus=0, n_aarect=0,
+    scene = _mixed_scene(n_tri=150, n_sphere=0, n_torus=0, n_aarect=0,
                          n_square=0)
     prep = bvh.attach_clusters(trace.prepare(scene), scene,
                                group=128, min_count=32)
     settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
-                              max_bounces=3)
+                              max_bounces=2)
     camera = Camera.create((0.0, 0.5, -2.0), 0.15, 0.0)
-    W = H = 16
+    W = H = 8
     pix = jnp.arange(W * H, dtype=jnp.int32)
     a0, c0, _ = wavefront.render_queue_flat(
         prep, scene, settings, camera, pix, W, H, jnp.uint32(4), 64)
-    # use_fused=True turns on BOTH the fused megakernel (dense families)
-    # and the Pallas probe; run under the interpreter on CPU
+    # use_fused=True turns on the fused megakernel (dense families) AND
+    # the Pallas select+probe pair; run under the interpreter on CPU
     prep_f = dataclasses.replace(prep, use_fused=True)
     with pltpu.force_tpu_interpret_mode():
         a1, c1, _ = wavefront.render_queue_flat(
@@ -126,3 +127,39 @@ def test_flat_wavefront_with_pallas_probe_end_to_end():
     assert (np.asarray(c0) == np.asarray(c1)).all()
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_select_matches_xla():
+    """select_blocks must reproduce the XLA slab + lex-cursor filter +
+    reductions exactly (same entries, ids and next-candidate)."""
+    scene = _mixed_scene()
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=32)
+    cs = prep.cluster
+    C = cs.blocks.shape[0]
+    n = 96
+    o, d = _rays(n, seed=7)
+    r = np.random.default_rng(0)
+    # random cursors including fresh (-inf, -1)
+    skip_e = jnp.asarray(np.where(r.random(n) < 0.5, -np.inf,
+                                  r.uniform(0, 5, n)).astype(np.float32))
+    skip_c = jnp.asarray(r.integers(-1, C, n).astype(np.int32))
+
+    ent = cl._rays_vs_boxes(o, d, cs.lo, cs.hi)
+    cid = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
+    unvis = (ent > skip_e[:, None]) | ((ent == skip_e[:, None])
+                                       & (cid > skip_c[:, None]))
+    ent = jnp.where(unvis, ent, jnp.inf)
+    e0 = jnp.min(ent, axis=1)
+    c0 = jnp.minimum(jnp.min(jnp.where(ent == e0[:, None], cid, C),
+                             axis=1), C - 1)
+    en0 = jnp.min(jnp.where((ent > e0[:, None]) |
+                            ((ent == e0[:, None]) & (cid > c0[:, None])),
+                            ent, jnp.inf), axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        aabbs = pp.pack_aabbs(cs)
+        e1, c1, en1 = pp.select_blocks(cs, aabbs, o, d, skip_e, skip_c, C)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    fin = np.isfinite(np.asarray(e0))
+    np.testing.assert_array_equal(np.asarray(c0)[fin], np.asarray(c1)[fin])
+    np.testing.assert_array_equal(np.asarray(en0), np.asarray(en1))

@@ -66,6 +66,12 @@ class RenderSettings:
     # terminated (lax.while_loop).  Not reverse-differentiable: gradient
     # workloads must set False to get the lax.scan form.
     early_exit: bool = True
+    # Rematerialize each bounce in the backward pass (``jax.checkpoint``
+    # around the scan body): stores only the (R,)-sized carries instead
+    # of every bounce's trace intermediates, ~2x bounce FLOPs for
+    # O(max_bounces)x less gradient memory.  Only affects the scan form
+    # (``early_exit=False``), i.e. gradient workloads.
+    checkpoint_bounces: bool = True
     # Epsilon bias for shadow/bounce ray origins (``src/math/mod.rs:11``).
     epsilon: float = 2e-4
     # Russian roulette keep-chance clamp (``src/tracer.rs:318``).

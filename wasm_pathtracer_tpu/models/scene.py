@@ -150,6 +150,16 @@ class SceneData:
             mat_extra=self.mat_extra if mat_extra is None else mat_extra,
         )
 
+    def with_light_rows(self, rows) -> "SceneData":
+        """Functional update of the area-light geometry rows (the
+        (L, 9) triangle-vertex params of the emissive shapes) — the
+        differentiable light-geometry leaves of BASELINE config 4.
+        Gradients flow through the NEE solid-angle estimator (area,
+        cos_o, 1/d^2, and the sampled point itself) and through
+        emissive-hit visibility's shading terms."""
+        return dataclasses.replace(
+            self, params=self.params.at[self.light_shape].set(rows))
+
     # Convenience per-type gathers (host-time static index sets are not
     # stored; types are few so boolean masks at trace time are avoided by
     # the renderer pre-splitting the scene — see ops.intersect.split_scene).

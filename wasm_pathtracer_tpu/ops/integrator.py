@@ -387,7 +387,16 @@ def trace_paths(prep: tr.ScenePrep, scene: SceneData,
 
         _, carry = jax.lax.while_loop(w_cond, w_body, (jnp.uint32(0), init))
     else:
-        carry, _ = jax.lax.scan(bounce, init,
+        body = bounce
+        if settings.checkpoint_bounces:
+            # remat each bounce in the backward pass: the scan's saved
+            # residuals otherwise hold every bounce's full trace
+            # intermediates (O(max_bounces * R * scene) memory); with
+            # checkpointing only the (R,)-sized carries are stored and
+            # each bounce recomputes its forward during the VJP —
+            # trading ~2x bounce FLOPs for O(max_bounces)x less HBM
+            body = jax.checkpoint(bounce)
+        carry, _ = jax.lax.scan(body, init,
                                 jnp.arange(settings.max_bounces,
                                            dtype=jnp.uint32))
     _, _, _, color, _, _, _, cost = carry

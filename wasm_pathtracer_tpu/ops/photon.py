@@ -183,7 +183,14 @@ def sample(grid: PhotonGrid, p, seed, ray_id, slot):
     uni_lid = jnp.minimum((u4 * L).astype(jnp.int32), L - 1)
     lid = jnp.where(outside, uni_lid, lid)
     pdf = jnp.where(outside, 1.0 / L, pdf)
-    return lid, pdf
+    # Detach the pdf: it is the light-SELECTION distribution, and for
+    # any fixed selection distribution q the NEE estimator f/q is
+    # unbiased, so E[f/q] does not depend on q at all — the correct
+    # gradient of the expectation flows only through f (the solid-angle
+    # contribution).  Differentiating through q (which depends on the
+    # photon bins and, via the trilinear weights, on the shading point)
+    # would add a zero-in-expectation but high-variance score term.
+    return lid, jax.lax.stop_gradient(pdf)
 
 
 def grid_bounds_for_scene(scene: SceneData, settings):

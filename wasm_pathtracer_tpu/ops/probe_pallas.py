@@ -249,6 +249,122 @@ _TESTS = {
 }
 
 
+_BIGF = 1e30
+
+
+def pack_aabbs(cs):
+    """(C, 3) lo + (C, 3) hi -> (8, Cpad) row table for the select
+    kernel: rows 0-2 lo.xyz, rows 3-5 hi.xyz, rows 6-7 zero.  Padding
+    clusters (id >= C) are masked OUT inside the kernel by the static
+    cluster count — an "empty box" sentinel does not work, because a
+    slab test against inverted bounds yields a (-inf, +inf) interval
+    per axis, i.e. a hit at entry 0.
+    """
+    C = cs.lo.shape[0]
+    Cpad = -(-C // 128) * 128
+    lo = jnp.pad(cs.lo, ((0, Cpad - C), (0, 0)))
+    hi = jnp.pad(cs.hi, ((0, Cpad - C), (0, 0)))
+    return jnp.concatenate([lo.T, hi.T, jnp.zeros((2, Cpad), jnp.float32)],
+                           axis=0)
+
+
+# lanes per select-kernel grid step: larger than the probe's 8 because
+# the select does (LG, Cpad) work per step with no per-lane dynamic
+# loads — fewer grid steps amortize the per-step DMA/loop overhead
+SELECT_GROUP = 64
+
+
+def _make_select_kernel(C: int):
+    def kernel(rays_ref, aabb_ref, out_ref):
+        """Per-lane lex-min unvisited cluster.
+
+        rays_ref: (1, LG, 16) — cols 0-5 ray o/d, 6 skip_e, 7 skip_c
+        (f32), rest padding.  aabb_ref: (8, Cpad) packed boxes.
+        out_ref: (LG, 8) — cols 0 e_cur, 1 c_cur (f32), 2 e_next.
+
+        The entry-distance formula matches ``cluster._rays_vs_boxes``;
+        the cursor filter matches the flat wavefront's XLA fallback.
+        """
+        rays = rays_ref[0]                                # (LG, 16)
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+        skip_e, skip_c = rays[:, 6:7], rays[:, 7:8]
+
+        ix, iy, iz = 1.0 / _nz(dx), 1.0 / _nz(dy), 1.0 / _nz(dz)
+        x1 = (aabb_ref[0:1, :] - ox) * ix                 # (8, Cpad)
+        y1 = (aabb_ref[1:2, :] - oy) * iy
+        z1 = (aabb_ref[2:3, :] - oz) * iz
+        x2 = (aabb_ref[3:4, :] - ox) * ix
+        y2 = (aabb_ref[4:5, :] - oy) * iy
+        z2 = (aabb_ref[5:6, :] - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(x1, x2),
+                                       jnp.minimum(y1, y2)),
+                           jnp.minimum(z1, z2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(x1, x2),
+                                       jnp.maximum(y1, y2)),
+                           jnp.maximum(z1, z2))
+        # int32 iota then convert: Mosaic's tpu.iota is integer-only
+        cid = jax.lax.broadcasted_iota(jnp.int32, tmin.shape, 1) \
+            .astype(jnp.float32)
+        hit = (tmax >= tmin) & (tmax > 0.0) & (cid < float(C))
+        ent = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
+
+        unvis = (ent > skip_e) | ((ent == skip_e) & (cid > skip_c))
+        ent = jnp.where(unvis, ent, jnp.inf)
+        e_cur = jnp.min(ent, axis=1, keepdims=True)       # (8, 1)
+        c_cur = jnp.min(jnp.where(ent == e_cur, cid, _BIGF), axis=1,
+                        keepdims=True)
+        after = (ent > e_cur) | ((ent == e_cur) & (cid > c_cur))
+        e_next = jnp.min(jnp.where(after, ent, jnp.inf), axis=1,
+                         keepdims=True)
+        out = jnp.concatenate(
+            [e_cur, c_cur, e_next,
+             jnp.zeros((SELECT_GROUP, 5), jnp.float32)], axis=1)
+        out_ref[...] = out
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
+def _select_call(aabbs, rays, C):
+    NG = rays.shape[0]
+    Cpad = aabbs.shape[1]
+    return pl.pallas_call(
+        _make_select_kernel(C),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, SELECT_GROUP, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SELECT_GROUP, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NG * SELECT_GROUP, 8),
+                                       jnp.float32),
+    )(rays, aabbs)
+
+
+def select_blocks(cs, aabbs, o, d, skip_e, skip_c, C: int):
+    """Lex-min unvisited cluster per lane: the Pallas twin of the flat
+    wavefront's slab + cursor-filter + three (B, C) reductions.
+
+    Returns (e_cur (B,) f32, c_cur (B,) int32, e_next (B,) f32) where
+    e_next is the entry of the next candidate strictly after
+    (e_cur, c_cur) in lex order.
+    """
+    B = o.shape[0]
+    pad = (-B) % SELECT_GROUP
+    rays = jnp.concatenate(
+        [o, d, skip_e[:, None], skip_c.astype(jnp.float32)[:, None],
+         jnp.zeros((B, 8), jnp.float32)], axis=1)
+    rays = jnp.pad(rays, ((0, pad), (0, 0))).reshape(-1, SELECT_GROUP, 16)
+    out = _select_call(aabbs, rays, C)[:B]
+    e_cur = out[:, 0]
+    c_cur = jnp.minimum(out[:, 1], C - 1).astype(jnp.int32)
+    return e_cur, c_cur, out[:, 2]
+
+
 def _make_kernel(families, G):
     def kernel(cidx_ref, rays_ref, tab_ref, t_ref):
         # cidx_ref: (1, 8) SMEM int32; rays_ref: (1, 8, 8) VMEM

@@ -132,10 +132,11 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     eps = settings.epsilon
     max_b = jnp.uint32(settings.max_bounces)
 
-    # Pallas probe kernel when the table fits VMEM and Pallas is allowed
-    # (prep.use_fused is the session's "forward-only fast paths" switch)
+    # Pallas select+probe kernels when the table fits VMEM and Pallas is
+    # allowed (prep.use_fused is the session's forward-fast-path switch)
     use_pp = prep.use_fused and pp.fits_vmem(cs)
     table = pp.pack_table(cs) if use_pp else None
+    aabbs = pp.pack_aabbs(cs) if use_pp else None
 
     # ring capacity: ceil(S/B) guarantees no stranded queue slot (all
     # lanes capped => B*K >= S paths recorded); slack covers imbalance
@@ -210,16 +211,24 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         # ---- PROBE: lex-min unvisited cluster per lane ------------------
         # entries are recomputed every iteration; "visited" is the lex
         # cursor (skip_e, skip_c) since the visit order is ascending
-        ent = cl._rays_vs_boxes(tr_o, tr_d, cs.lo, cs.hi)    # (B, C)
-        cid = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
-        unvisited = (ent > skip_e[:, None]) | \
-            ((ent == skip_e[:, None]) & (cid > skip_c[:, None]))
-        ent = jnp.where(unvisited, ent, jnp.inf)
-        e_cur = jnp.min(ent, axis=1)
-        # lex tie-break: among entries equal to e_cur, the lowest id
-        c_cur = jnp.min(jnp.where(ent == e_cur[:, None], cid, C),
-                        axis=1)
-        c_cur = jnp.minimum(c_cur, C - 1)
+        if use_pp:
+            e_cur, c_cur, e_nxt = pp.select_blocks(
+                cs, aabbs, tr_o, tr_d, skip_e, skip_c, C)
+        else:
+            ent = cl._rays_vs_boxes(tr_o, tr_d, cs.lo, cs.hi)  # (B, C)
+            cid = jax.lax.broadcasted_iota(jnp.int32, ent.shape, 1)
+            unvisited = (ent > skip_e[:, None]) | \
+                ((ent == skip_e[:, None]) & (cid > skip_c[:, None]))
+            ent = jnp.where(unvisited, ent, jnp.inf)
+            e_cur = jnp.min(ent, axis=1)
+            # lex tie-break: among entries equal to e_cur, the lowest id
+            c_cur = jnp.min(jnp.where(ent == e_cur[:, None], cid, C),
+                            axis=1)
+            c_cur = jnp.minimum(c_cur, C - 1)
+            e_nxt = jnp.min(
+                jnp.where((ent > e_cur[:, None]) |
+                          ((ent == e_cur[:, None]) &
+                           (cid > c_cur[:, None])), ent, jnp.inf), axis=1)
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
         probing = live & (e_cur < bound)
@@ -244,10 +253,7 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
 
         # ---- completion ------------------------------------------------
         # next candidate strictly after the (possibly advanced) cursor
-        e_next = jnp.where(probing, jnp.min(
-            jnp.where((ent > e_cur[:, None]) |
-                      ((ent == e_cur[:, None]) & (cid > c_cur[:, None])),
-                      ent, jnp.inf), axis=1), e_cur)
+        e_next = jnp.where(probing, e_nxt, e_cur)
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
         done = live & (e_next >= bound)

@@ -134,16 +134,26 @@ def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
 
 def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
                     settings: RenderSettings, width: int, height: int,
-                    lr: float = 0.05, spp: int = 1) -> Callable:
+                    lr: float = 0.05, spp: int = 1,
+                    train_lights: bool = False,
+                    photon_grid=None) -> Callable:
     """Build the jitted inverse-rendering training step.
 
     The flagship differentiable workload: render the scene, compare to a
     target image, and descend on the scene's material leaves (albedo,
-    emission) and the camera pose.  Discrete path decisions (light pick,
-    RR, BVH hit selection) consume RNG that does not depend on the
-    optimized parameters, so the per-sample radiance is differentiable
-    w.r.t. shading/pdf terms — the detach-discrete/differentiate-shading
+    emission), the camera pose, and — with ``train_lights`` — the
+    area-light GEOMETRY rows (BASELINE config 4: the NEE solid-angle
+    estimator ``area * cos_o / d^2 * cos_i`` is differentiable in the
+    light vertices).  Discrete path decisions (light pick, RR, BVH hit
+    selection) consume RNG that does not depend on the optimized
+    parameters, so the per-sample radiance is differentiable w.r.t.
+    shading/pdf terms — the detach-discrete/differentiate-shading
     decomposition of BASELINE.json's north star.
+
+    ``photon_grid``: enables PNEE-mode training (settings.render_type
+    == PNEE); the grid is a detached importance distribution
+    (``ops.photon.sample`` stop-gradients the selection pdf, which is
+    exactly unbiased — see its docstring).
 
     Per-device gradients over the ray shard are ``psum``-ed over the
     ``rays`` axis inside shard_map; XLA overlaps the all-reduce with the
@@ -166,15 +176,19 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
         out_specs=(P(), P(), P()),
         check_vma=False)
     def step(px_s, py_s, scene_s, camera_s, target_s, valid_s, seed):
+        grid_s = photon_grid   # replicated closure capture (like prep)
 
         def loss_fn(leaves, camera):
             sc = scene_s.with_materials(albedo=leaves["albedo"],
                                         emission=leaves["emission"])
+            if train_lights:
+                sc = sc.with_light_rows(leaves["light_rows"])
             acc = jnp.zeros((px_s.shape[0], 3), jnp.float32)
             for k in range(spp):  # average spp samples: lower-variance grads
                 col, _ = integrator.render_pixels(
                     prep, sc, settings, camera, px_s, py_s, width, height,
-                    seed + jnp.uint32((k * 0x9E3779B9) & 0xFFFFFFFF))
+                    seed + jnp.uint32((k * 0x9E3779B9) & 0xFFFFFFFF),
+                    photon_grid=grid_s)
                 acc = acc + col
             col = acc / spp
             # mean over ALL real pixels (pad rows masked): local sum *
@@ -182,6 +196,8 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
             return jnp.sum(valid_s[:, None] * (col - target_s) ** 2) * inv_n
 
         leaves = dict(albedo=scene_s.albedo, emission=scene_s.emission)
+        if train_lights:
+            leaves["light_rows"] = scene_s.params[scene_s.light_shape]
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             leaves, camera_s)
         g_leaves, g_cam = grads
@@ -190,15 +206,21 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
         g_cam = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), g_cam)
         loss = jax.lax.psum(loss, "rays")
 
-        new_albedo = jnp.clip(scene_s.albedo - lr * g_leaves["albedo"], 0.0, 1.0)
-        new_emission = jnp.maximum(
-            scene_s.emission - lr * g_leaves["emission"], 0.0)
+        new_leaves = dict(
+            albedo=jnp.clip(scene_s.albedo - lr * g_leaves["albedo"],
+                            0.0, 1.0),
+            emission=jnp.maximum(
+                scene_s.emission - lr * g_leaves["emission"], 0.0),
+        )
+        if train_lights:
+            new_leaves["light_rows"] = (scene_s.params[scene_s.light_shape]
+                                        - lr * g_leaves["light_rows"])
         new_cam = Camera(
             location=camera_s.location - lr * g_cam.location,
             rot_x=camera_s.rot_x - lr * g_cam.rot_x,
             rot_y=camera_s.rot_y - lr * g_cam.rot_y,
         )
-        return loss, dict(albedo=new_albedo, emission=new_emission), new_cam
+        return loss, new_leaves, new_cam
 
     @jax.jit
     def train_step(scene, camera, target, seed):
@@ -208,6 +230,8 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
                                          valid_all, seed)
         scene = scene.with_materials(albedo=new_leaves["albedo"],
                                      emission=new_leaves["emission"])
+        if train_lights:
+            scene = scene.with_light_rows(new_leaves["light_rows"])
         return loss, scene, new_cam
 
     return train_step

@@ -13,8 +13,8 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 array as a PNG file."""
+def encode_png(rgb: np.ndarray, level: int = 6) -> bytes:
+    """Encode an (H, W, 3) uint8 array as PNG bytes."""
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) uint8, got {rgb.shape}")
@@ -31,14 +31,18 @@ def write_png(path: str, rgb: np.ndarray) -> None:
     # filter byte 0 (None) per scanline
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb))
 
 
 def tonemap_u8(img: np.ndarray) -> np.ndarray:
