@@ -75,6 +75,14 @@ def test_scene_registry():
 
 
 def test_triangle_cloud_shape():
-    t = scenes.triangle_cloud(100)
-    assert t.shape == (100, 3, 3)
-    assert (np.abs(t) <= 3.0).all()
+    """Generator distribution matches ``src_ts/client/index.ts:164-184``:
+    centers in [-2.5, 2.5]^2 x [0, 5], positive [0, 0.5] vertex offsets."""
+    t = scenes.triangle_cloud(4096)
+    assert t.shape == (4096, 3, 3)
+    assert (t[..., 0] >= -2.5).all() and (t[..., 0] <= 3.0).all()
+    assert (t[..., 1] >= -2.5).all() and (t[..., 1] <= 3.0).all()
+    assert (t[..., 2] >= 0.0).all() and (t[..., 2] <= 5.5).all()
+    # offsets are strictly positive: every vertex >= its triangle's center
+    centers = t.min(axis=1)
+    assert (t - centers[:, None, :] >= 0.0).all()
+    assert (t - centers[:, None, :] <= 0.5).all()

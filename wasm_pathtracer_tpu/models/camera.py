@@ -67,11 +67,12 @@ INITIAL_CAMERAS = {
     0: dict(location=(0.0, 16.34, -23.76), rot_x=0.54, rot_y=0.0),   # museum
     1: dict(location=(-0.9, 5.4, 0.4), rot_x=0.58, rot_y=0.0),       # bunny (low)
     2: dict(location=(-0.9, 5.4, 0.4), rot_x=0.58, rot_y=0.0),       # bunny (high)
-    # cloud workload scenes (ids 3/4/5): look at the [-1.25,1.25]^2 x
-    # [2.5,5] box from the front
-    3: dict(location=(0.0, 0.5, -2.0), rot_x=0.1, rot_y=0.0),
-    4: dict(location=(0.0, 0.5, -2.0), rot_x=0.1, rot_y=0.0),
-    5: dict(location=(0.0, 0.5, -2.0), rot_x=0.1, rot_y=0.0),
+    # cloud workload scenes (ids 3/4/5): look at the [-1.25,1.5]^2 x
+    # [5,7.75] box (the generated cloud after the x0.5 +5z upload
+    # transform, models/scenes.py::cloud) from the front
+    3: dict(location=(0.0, 0.5, -2.0), rot_x=0.05, rot_y=0.0),
+    4: dict(location=(0.0, 0.5, -2.0), rot_x=0.05, rot_y=0.0),
+    5: dict(location=(0.0, 0.5, -2.0), rot_x=0.05, rot_y=0.0),
 }
 
 

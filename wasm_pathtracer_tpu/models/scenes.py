@@ -130,8 +130,8 @@ def cloud(n: int, meshes: dict | None = None,
         tris = np.asarray(meshes[mesh_id], np.float32) * 0.5
         tris = tris + np.array([0.0, 0.0, 5.0], np.float32)
     else:
-        # the reference cloud spans [-2.5,2.5]^2 x [0,5]; same box after
-        # the upload transform
+        # raw cloud spans [-2.5,3]^2 x [0,5.5]; the upload transform
+        # (x0.5 +5z) puts it at [-1.25,1.5]^2 x [5,7.75]
         tris = triangle_cloud(n) * 0.5 + np.array([0.0, 0.0, 5.0],
                                                   np.float32)
     b.add_triangles(tris, Material.diffuse(0.75, 0.55, 0.35))
@@ -220,11 +220,16 @@ def mesh_scene(tris: np.ndarray) -> SceneData:
 
 def triangle_cloud(n: int, seed: int = 7) -> np.ndarray:
     """Procedural triangle cloud (``src_ts/client/index.ts:164-184``):
-    n triangles with centers in [-2.5, 2.5]^3 and ~0.4-sized offsets.
-    Deterministic here (the reference uses Math.random)."""
+    n triangles with centers in [-2.5, 2.5]^2 x [0, 5] and positive
+    [0, 0.5] per-vertex offsets, matching the reference generator
+    exactly in distribution.  Deterministic here (the reference uses
+    Math.random)."""
     r = np.random.default_rng(seed)
-    centers = r.uniform(-2.5, 2.5, size=(n, 1, 3))
-    offsets = r.uniform(-0.4, 0.4, size=(n, 3, 3))
+    cx = r.uniform(-2.5, 2.5, size=(n, 1, 1))
+    cy = r.uniform(-2.5, 2.5, size=(n, 1, 1))
+    cz = r.uniform(0.0, 5.0, size=(n, 1, 1))
+    centers = np.concatenate([cx, cy, cz], axis=-1)
+    offsets = r.uniform(0.0, 0.5, size=(n, 3, 3))
     return (centers + offsets).astype(np.float32)
 
 

@@ -184,12 +184,14 @@ def sample(grid: PhotonGrid, p, seed, ray_id, slot):
     lid = jnp.where(outside, uni_lid, lid)
     pdf = jnp.where(outside, 1.0 / L, pdf)
     # Detach the pdf: it is the light-SELECTION distribution, and for
-    # any fixed selection distribution q the NEE estimator f/q is
-    # unbiased, so E[f/q] does not depend on q at all — the correct
-    # gradient of the expectation flows only through f (the solid-angle
-    # contribution).  Differentiating through q (which depends on the
-    # photon bins and, via the trilinear weights, on the shading point)
-    # would add a zero-in-expectation but high-variance score term.
+    # any FIXED selection distribution q the NEE estimator f/q is
+    # unbiased, so grad E[f/q] = grad(sum_l f_l) flows exactly through
+    # f alone (the solid-angle contribution).  Differentiating through
+    # q would instead add the partial score term E[f * d(1/q)] =
+    # -sum_l f_l dq_l / q_l, which is NOT zero in expectation on its
+    # own (it only cancels when paired with a matching score-function
+    # term this estimator does not sample) — detaching q is what keeps
+    # the gradient unbiased, not a variance trade.
     return lid, jax.lax.stop_gradient(pdf)
 
 

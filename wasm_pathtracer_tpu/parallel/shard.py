@@ -136,6 +136,9 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
                     settings: RenderSettings, width: int, height: int,
                     lr: float = 0.05, spp: int = 1,
                     train_lights: bool = False,
+                    train_materials: bool = True,
+                    train_camera: bool = True,
+                    optimizer=None,
                     photon_grid=None) -> Callable:
     """Build the jitted inverse-rendering training step.
 
@@ -150,6 +153,26 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
     shading/pdf terms — the detach-discrete/differentiate-shading
     decomposition of BASELINE.json's north star.
 
+    With ``spp >= 2`` the loss is the unbiased squared-bias (two-sample
+    cross) estimator — see the comment in ``loss_fn``; with ``spp == 1``
+    it degrades to a plain MSE whose gradient also carries the
+    estimator-variance term.
+
+    ``train_materials`` / ``train_camera`` / ``train_lights`` select the
+    descent leaves.  Joint optimization of emission and light geometry
+    is ill-posed from brightness alone (emission x 1/d^2 ambiguity);
+    geometry-recovery workloads should freeze the materials.
+
+    ``optimizer``: ``None`` for plain SGD at ``lr`` (the returned step
+    is ``(loss, scene, camera) = step(scene, camera, target, seed)``),
+    or any ``optax.GradientTransformation`` — geometry losses are
+    strongly anisotropic (light-vertex x/z gradients dominate y), so
+    noisy-gradient recovery workloads want Adam.  With an optimizer the
+    step signature gains the optimizer state:
+    ``(loss, scene, camera, opt_state) = step(scene, camera, target,
+    seed, opt_state)`` and ``step.init(scene, camera)`` builds the
+    initial state.
+
     ``photon_grid``: enables PNEE-mode training (settings.render_type
     == PNEE); the grid is a detached importance distribution
     (``ops.photon.sample`` stop-gradients the selection pdf, which is
@@ -159,6 +182,15 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
     ``rays`` axis inside shard_map; XLA overlaps the all-reduce with the
     backward computation.
     """
+    if train_lights and (prep.has_bvh or prep.cluster is not None):
+        # BVH / cluster preps carry BAKED triangle geometry
+        # (bvh_tri_rows, cluster.blocks): intersections and occlusion
+        # would silently use stale light positions while the NEE
+        # estimator uses the updated rows.  Light-geometry training
+        # requires a dense prep (trace.prepare without attach_bvh /
+        # attach_clusters), whose traces read scene.params live.
+        raise ValueError("train_lights=True requires a dense ScenePrep "
+                         "(no attached BVH or cluster structure)")
     n_dev = mesh.devices.size
     n_pix = width * height
     n_pad = _pad_to(n_pix, n_dev * 8)
@@ -179,23 +211,44 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
         grid_s = photon_grid   # replicated closure capture (like prep)
 
         def loss_fn(leaves, camera):
-            sc = scene_s.with_materials(albedo=leaves["albedo"],
-                                        emission=leaves["emission"])
+            sc = scene_s
+            if train_materials:
+                sc = sc.with_materials(albedo=leaves["albedo"],
+                                       emission=leaves["emission"])
             if train_lights:
                 sc = sc.with_light_rows(leaves["light_rows"])
-            acc = jnp.zeros((px_s.shape[0], 3), jnp.float32)
-            for k in range(spp):  # average spp samples: lower-variance grads
+            cols = []
+            for k in range(spp):
                 col, _ = integrator.render_pixels(
                     prep, sc, settings, camera, px_s, py_s, width, height,
                     seed + jnp.uint32((k * 0x9E3779B9) & 0xFFFFFFFF),
                     photon_grid=grid_s)
-                acc = acc + col
-            col = acc / spp
+                cols.append(col)
             # mean over ALL real pixels (pad rows masked): local sum *
             # global 1/N, so psum of grads reconstructs the global gradient
-            return jnp.sum(valid_s[:, None] * (col - target_s) ** 2) * inv_n
+            if spp >= 2:
+                # Unbiased squared-bias loss via the two-sample CROSS
+                # estimator: with A, B averaged over independent halves,
+                # E[(A - t)(B - t)] = (E[col] - t)^2 exactly — the
+                # estimator-variance term of a plain MSE cancels between
+                # the halves.  A plain single-render MSE rewards
+                # VARIANCE reduction as much as bias reduction, so at
+                # low spp gradient descent chases whatever dims the
+                # image (e.g. pushing a light AWAY); the cross form
+                # keeps descent pointed at the true parameters.
+                nA = spp // 2
+                colA = sum(cols[:nA]) / nA
+                colB = sum(cols[nA:]) / (spp - nA)
+                err = (colA - target_s) * (colB - target_s)
+            else:
+                col = cols[0]
+                err = (col - target_s) ** 2
+            return jnp.sum(valid_s[:, None] * err) * inv_n
 
-        leaves = dict(albedo=scene_s.albedo, emission=scene_s.emission)
+        leaves = {}
+        if train_materials:
+            leaves["albedo"] = scene_s.albedo
+            leaves["emission"] = scene_s.emission
         if train_lights:
             leaves["light_rows"] = scene_s.params[scene_s.light_shape]
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
@@ -205,33 +258,63 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
         g_leaves = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), g_leaves)
         g_cam = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), g_cam)
         loss = jax.lax.psum(loss, "rays")
+        return loss, g_leaves, g_cam
 
-        new_leaves = dict(
-            albedo=jnp.clip(scene_s.albedo - lr * g_leaves["albedo"],
-                            0.0, 1.0),
-            emission=jnp.maximum(
-                scene_s.emission - lr * g_leaves["emission"], 0.0),
-        )
+    def _params(scene, camera):
+        leaves = {}
+        if train_materials:
+            leaves["albedo"] = scene.albedo
+            leaves["emission"] = scene.emission
         if train_lights:
-            new_leaves["light_rows"] = (scene_s.params[scene_s.light_shape]
-                                        - lr * g_leaves["light_rows"])
-        new_cam = Camera(
-            location=camera_s.location - lr * g_cam.location,
-            rot_x=camera_s.rot_x - lr * g_cam.rot_x,
-            rot_y=camera_s.rot_y - lr * g_cam.rot_y,
-        )
-        return loss, new_leaves, new_cam
+            leaves["light_rows"] = scene.params[scene.light_shape]
+        if train_camera:
+            leaves["camera"] = camera
+        return leaves
 
-    @jax.jit
-    def train_step(scene, camera, target, seed):
+    def _apply(scene, camera, leaves):
+        if train_materials:
+            scene = scene.with_materials(
+                albedo=jnp.clip(leaves["albedo"], 0.0, 1.0),
+                emission=jnp.maximum(leaves["emission"], 0.0))
+        if train_lights:
+            scene = scene.with_light_rows(leaves["light_rows"])
+        if train_camera:
+            camera = leaves["camera"]
+        return scene, camera
+
+    def _grads(scene, camera, target, seed):
         t = target.reshape(-1, 3)
         t = jnp.pad(t, ((0, n_pad - n_pix), (0, 0)))
-        loss, new_leaves, new_cam = step(px_all, py_all, scene, camera, t,
-                                         valid_all, seed)
-        scene = scene.with_materials(albedo=new_leaves["albedo"],
-                                     emission=new_leaves["emission"])
-        if train_lights:
-            scene = scene.with_light_rows(new_leaves["light_rows"])
-        return loss, scene, new_cam
+        loss, g_leaves, g_cam = step(px_all, py_all, scene, camera, t,
+                                     valid_all, seed)
+        g = dict(g_leaves)
+        if train_camera:
+            g["camera"] = g_cam
+        return loss, g
 
-    return train_step
+    if optimizer is None:
+        @jax.jit
+        def train_step(scene, camera, target, seed):
+            loss, g = _grads(scene, camera, target, seed)
+            leaves = jax.tree.map(lambda p, gg: p - lr * gg,
+                                  _params(scene, camera), g)
+            scene, camera = _apply(scene, camera, leaves)
+            return loss, scene, camera
+
+        return train_step
+
+    @jax.jit
+    def _step_opt(scene, camera, target, seed, opt_state):
+        loss, g = _grads(scene, camera, target, seed)
+        params = _params(scene, camera)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        leaves = jax.tree.map(lambda p, u: p + u, params, updates)
+        scene, camera = _apply(scene, camera, leaves)
+        return loss, scene, camera, opt_state
+
+    def train_step_opt(scene, camera, target, seed, opt_state):
+        return _step_opt(scene, camera, target, seed, opt_state)
+
+    train_step_opt.init = lambda scene, camera: optimizer.init(
+        _params(scene, camera))
+    return train_step_opt

@@ -56,6 +56,12 @@ class CameraController:
         self._camera = camera
         self._notify()
 
+    def set_silent(self, camera: Camera):
+        """Replace the camera WITHOUT firing ``on_update`` — for scene
+        switches, where the session resets its own camera and a deferred
+        camera-update callback would clobber the fresh accumulator."""
+        self._camera = camera
+
     def key(self, name: str, count: int = 1):
         """Apply ``count`` ticks of the named key (see _BINDINGS)."""
         b = _BINDINGS.get(name.lower())

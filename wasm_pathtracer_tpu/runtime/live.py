@@ -115,14 +115,18 @@ class LiveSession:
 
     def key(self, name: str, count: int = 1):
         """Camera key (WASD/arrows/pageup/pagedown), reference step sizes
-        (``camera_controller.ts:47-88``)."""
-        self.controller.key(name, count)
+        (``camera_controller.ts:47-88``).  Deferred: HTTP handler threads
+        must not mutate controller state while the render thread reads
+        it (concurrent /key requests would lose updates)."""
+        self._defer(lambda s: self.controller.key(name, count))
 
     def pause(self):
-        self.paused = True
+        self._defer(lambda s: setattr(self, "paused", True))
 
     def resume(self):
-        self.paused = False
+        # applied in tick()'s pending sweep, which runs even while
+        # paused — so resume always takes effect on the next tick
+        self._defer(lambda s: setattr(self, "paused", False))
 
     def set_scene(self, scene_id: int):
         def apply(s: Session):
@@ -141,7 +145,7 @@ class LiveSession:
         self._defer(lambda s: s.update_viewport(width, height))
 
     def set_show_sampling(self, flag: bool):
-        self.show_sampling = bool(flag)
+        self._defer(lambda s: setattr(self, "show_sampling", bool(flag)))
 
     def status(self) -> dict:
         return dict(paused=self.paused,
@@ -151,15 +155,6 @@ class LiveSession:
                     width=self.session.width, height=self.session.height,
                     scene=self.session.scene_id,
                     bvh_visits=self.session.num_bvh_hits)
-
-
-# allow set() without triggering a camera-update defer (scene switches
-# reset the camera through update_scene already)
-def _set_silent(self, camera):
-    self._camera = camera
-
-
-CameraController.set_silent = _set_silent
 
 
 _PAGE = """<!doctype html><html><head><title>wasm_pathtracer_tpu</title>
