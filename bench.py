@@ -17,12 +17,16 @@ path, ``src/tracer.rs:99-123``), including all bounce and shadow rays.
     (``index.ts:224-226``), same path.
   - ``backward_grad_rays_per_sec``: value_and_grad of the scan-form
     integrator on the museum w.r.t. materials + camera (BASELINE.md:
-    "backward grad rays/sec measured alongside forward"), with
-    per-bounce rematerialization.
+    "backward grad rays/sec measured alongside forward"): 262,144
+    rays x 5 iterations with per-bounce rematerialization, plus
+    half-batch and no-remat variants and XLA-reported gradient
+    temp memory.
   - ``adaptive_1080p_paths_per_sec``: 1920x1080 variance-guided
     adaptive sampling, single chip (BASELINE config 5's 1-chip half).
-  - ``museum_sol_pct``: achieved fraction of estimated VPU peak for the
-    museum kernel mix (see _sol_model).
+  - ``museum_sol_pct`` / ``mesh70k_sol_pct`` / ``cloud100k_sol_pct``:
+    achieved fraction of estimated VPU peak for the fused dense kernel
+    mix (_sol_model) and for the flattened-traversal kernel mix
+    (_sol_model_flat).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 only throughput machinery it documents is the worker auto-tuner's
@@ -37,26 +41,36 @@ import time
 import numpy as np
 
 
-def _bench_queue(fn, prep, scene, settings, cam, W, H, S, B, n_iters=3):
+def _bench_queue(fn, prep, scene, settings, cam, W, H, S, B, n_iters=3,
+                 want_iters=False):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def step(seed):
         pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
-        acc, cnt, cost = fn(prep, scene, settings, cam, pix, W, H, seed, B)
-        return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum()
+        if want_iters:
+            acc, cnt, cost, its = fn(prep, scene, settings, cam, pix, W, H,
+                                     seed, B, return_iters=True)
+        else:
+            acc, cnt, cost = fn(prep, scene, settings, cam, pix, W, H,
+                                seed, B)
+            its = jnp.int32(0)
+        return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum(), its
 
     jax.block_until_ready(step(jnp.uint32(0)))            # compile + warm
     t0 = time.perf_counter()
     outs = [step(jnp.uint32(i)) for i in range(1, n_iters + 1)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    acc = sum(float(x) for x, _, _ in outs)
-    done = sum(int(c) for _, c, _ in outs)
-    tests = sum(float(t) for _, _, t in outs)
+    acc = sum(float(x) for x, _, _, _ in outs)
+    done = sum(int(c) for _, c, _, _ in outs)
+    tests = sum(float(t) for _, _, t, _ in outs)
+    loop_iters = sum(int(i) for _, _, _, i in outs)
     assert np.isfinite(acc)
     assert done == n_iters * S, f"queue not drained: {done} != {n_iters*S}"
+    if want_iters:
+        return done / dt, tests / done, loop_iters / dt
     return done / dt, tests / done
 
 
@@ -84,6 +98,46 @@ def _sol_model(scene, tests_per_path, paths_per_sec):
     flops_per_path = traces_per_path * flops_per_trace
     vpu_peak = 1.9e12
     return 100.0 * paths_per_sec * flops_per_path / vpu_peak
+
+
+_PRIM_FLOPS = {0: 16.0, 1: 28.0, 2: 64.0, 3: 560.0, 4: 20.0, 5: 14.0}
+_SLAB_FLOPS = 30.0     # per ray x cluster-AABB slab test (select step)
+_SHADE_FLOPS = 400.0   # estimator + RNG + bookkeeping per lane-iteration
+_VPU_PEAK = 1.9e12
+
+
+def _sol_model_flat(scene, prep, B, iters_per_sec):
+    """Speed-of-light fraction for the FLATTENED wavefront
+    (``ops/wavefront.py``): every outer loop iteration runs, at full
+    lane width B regardless of per-lane state,
+
+      - one dense trace over the NON-clustered primitives (SCAN);
+      - one select pass: B x C cluster-AABB slab tests
+        (``probe_pallas.select_blocks`` / ``cluster._rays_vs_boxes``);
+      - one probe pass: B x G primitive tests of the picked cluster
+        (``probe_pallas.probe_blocks``);
+      - one ``_shade_core`` evaluation (cheap relative, modeled as a
+        constant per lane).
+
+    So hardware flops/s = B * iters/s * (F_dense + C*F_slab + G*F_probe
+    + F_shade), and SOL% is that against the VPU peak.  This counts the
+    work the machine actually executes (dead/masked lanes still burn
+    VPU cycles) — the model therefore measures KERNEL efficiency; lane
+    OCCUPANCY losses show up separately as paths/s vs iters/s.
+    """
+    cs = prep.cluster
+    C, G = cs.blocks.shape[0], cs.blocks.shape[1]
+    ptype = np.asarray(scene.ptype)
+    total_flops = sum(_PRIM_FLOPS[int(t)] for t in ptype)
+    sids = np.asarray(cs.slot_to_sid)
+    clustered_flops = sum(_PRIM_FLOPS[int(ptype[s])] for s in sids if s >= 0)
+    f_dense = total_flops - clustered_flops
+    # probe flops: mean primitive cost over the cluster table (padding
+    # slots still execute the type-switch; count them as the cheapest)
+    btype = np.asarray(cs.btype).reshape(-1)
+    f_probe = float(np.mean([_PRIM_FLOPS.get(int(t), 14.0) for t in btype])) * G
+    per_iter = B * (f_dense + C * _SLAB_FLOPS + f_probe + _SHADE_FLOPS)
+    return 100.0 * iters_per_sec * per_iter / _VPU_PEAK
 
 
 def main():
@@ -115,45 +169,72 @@ def main():
     prep_m = bvh.attach_clusters(trace.prepare(mesh, use_fused=on_tpu),
                                  mesh)
     cam_m = Camera.create((0.0, 1.0, -6.0), 0.1, 0.0)
-    pps, _ = _bench_queue(wavefront.render_queue_flat, prep_m, mesh,
-                          settings, cam_m, 512, 512, S=524_288, B=32_768)
+    pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_m, mesh,
+                               settings, cam_m, 512, 512,
+                               S=524_288, B=32_768, want_iters=True)
     extras["mesh70k_paths_per_sec"] = round(pps, 1)
+    extras["mesh70k_sol_pct"] = round(
+        _sol_model_flat(mesh, prep_m, 32_768, ips), 2)
 
     # -- 3. 100k-triangle cloud (scene id 5) ----------------------------
     cloud = scenes.select_scene(5)
     prep_c = bvh.attach_clusters(trace.prepare(cloud, use_fused=on_tpu),
                                  cloud)
-    pps, _ = _bench_queue(wavefront.render_queue_flat, prep_c, cloud,
-                          settings, initial_camera(5), 512, 512,
-                          S=524_288, B=32_768)
+    pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_c, cloud,
+                               settings, initial_camera(5), 512, 512,
+                               S=524_288, B=32_768, want_iters=True)
     extras["cloud100k_paths_per_sec"] = round(pps, 1)
+    extras["cloud100k_sol_pct"] = round(
+        _sol_model_flat(cloud, prep_c, 32_768, ips), 2)
 
     # -- 4. backward: grads of the scan-form museum render --------------
-    # (XLA dense path: Pallas is forward-only; bounce-checkpointed scan)
+    # (XLA dense path: Pallas is forward-only; bounce-checkpointed scan.)
+    # BASELINE.md: "backward grad rays/sec measured alongside forward".
+    # Methodology: 262,144 rays/step (large enough that dispatch is
+    # noise), 5 timed iterations, with and without per-bounce
+    # rematerialization (config.checkpoint_bounces), plus a half-batch
+    # run to show the rate survives a 2x batch change; gradient memory
+    # from XLA's own memory analysis of the compiled executable.
     prep_g = trace.prepare(scene)
-    gset = settings.replace(early_exit=False)
-    Rg = 16_384
-    pix = jnp.arange(Rg, dtype=jnp.int32)
-    px, py = pix % 512, pix // 512
     cam0 = initial_camera(0)
 
-    @jax.jit
-    def grad_step(albedo, camera, seed):
-        def loss(albedo, camera):
-            sc = scene.with_materials(albedo=albedo)
-            col, _ = integrator.render_pixels(prep_g, sc, gset, camera,
-                                              px, py, 512, 512, seed)
-            return jnp.mean(col ** 2)
-        l, g = jax.value_and_grad(loss, argnums=(0, 1))(albedo, camera)
-        return l, g
+    def _bench_backward(Rg, remat, n_iters=5):
+        gset = settings.replace(early_exit=False, checkpoint_bounces=remat)
+        pix = jnp.arange(Rg, dtype=jnp.int32)
+        px, py = pix % 512, (pix // 512) % 512
 
-    out = grad_step(scene.albedo, cam0, jnp.uint32(0))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [grad_step(scene.albedo, cam0, jnp.uint32(i)) for i in (1, 2)]
-    jax.block_until_ready(outs)
-    extras["backward_grad_rays_per_sec"] = round(
-        2 * Rg / (time.perf_counter() - t0), 1)
+        @jax.jit
+        def grad_step(albedo, camera, seed):
+            def loss(albedo, camera):
+                sc = scene.with_materials(albedo=albedo)
+                col, _ = integrator.render_pixels(prep_g, sc, gset, camera,
+                                                  px, py, 512, 512, seed)
+                return jnp.mean(col ** 2)
+            l, g = jax.value_and_grad(loss, argnums=(0, 1))(albedo, camera)
+            return l, g
+
+        lowered = grad_step.lower(scene.albedo, cam0, jnp.uint32(0))
+        compiled = lowered.compile()
+        try:
+            temp_mb = compiled.memory_analysis().temp_size_in_bytes / 2**20
+        except Exception:
+            temp_mb = float("nan")
+        out = grad_step(scene.albedo, cam0, jnp.uint32(0))   # warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [grad_step(scene.albedo, cam0, jnp.uint32(i))
+                for i in range(1, n_iters + 1)]
+        jax.block_until_ready(outs)
+        return n_iters * Rg / (time.perf_counter() - t0), temp_mb
+
+    rps, mem = _bench_backward(262_144, remat=True)
+    extras["backward_grad_rays_per_sec"] = round(rps, 1)
+    extras["backward_temp_mem_mb"] = round(mem, 1)
+    rps_h, _ = _bench_backward(131_072, remat=True)
+    extras["backward_grad_rays_per_sec_half_batch"] = round(rps_h, 1)
+    rps_nr, mem_nr = _bench_backward(262_144, remat=False)
+    extras["backward_noremat_rays_per_sec"] = round(rps_nr, 1)
+    extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
 
     # -- 5. 1080p adaptive, single chip (config 5's 1-chip half) --------
     from wasm_pathtracer_tpu.runtime.session import Session

@@ -1,0 +1,97 @@
+"""Record a scaling-efficiency artifact (BASELINE.md's >85% target).
+
+Runs the production sharded renderers over growing device subsets via
+``parallel.distributed.measure_scaling`` and writes one JSON file with
+per-count efficiency.  On real multi-chip hardware the numbers are the
+BASELINE artifact; on the virtual CPU mesh (``--virtual``, the only
+multi-device topology available in CI) they are weak evidence — all
+"devices" share the host's cores, so the recorded efficiency is a
+LOWER bound on what disjoint chips would do — but they still validate
+that the sharded program scales structurally (no replicated work, no
+serialization) and they pin the artifact format.
+
+Usage:
+    python examples/measure_scaling.py --virtual --out SCALING_r03.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+# runnable from anywhere: the package lives next to examples/
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", action="store_true",
+                    help="force an 8-device virtual CPU mesh")
+    ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--lanes", type=int, default=1024,
+                    help="wavefront lanes per device")
+    args = ap.parse_args()
+
+    import jax
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    import jax.numpy as jnp
+
+    from wasm_pathtracer_tpu.config import RenderSettings, RenderType
+    from wasm_pathtracer_tpu.models import scenes
+    from wasm_pathtracer_tpu.models.camera import Camera, initial_camera
+    from wasm_pathtracer_tpu.ops import bvh, trace
+    from wasm_pathtracer_tpu.parallel import (
+        render_queue_sharded, render_queue_flat_sharded)
+    from wasm_pathtracer_tpu.parallel.distributed import measure_scaling
+
+    n_dev = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev]
+    W, H = args.width, args.height
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=6)
+    pix = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), args.spp)
+
+    out = {"devices_available": n_dev,
+           "backend": jax.default_backend(),
+           "virtual": bool(args.virtual),
+           "workloads": {}}
+
+    # 1. dense production renderer (sphere_plane, regenerating wavefront)
+    scene = scenes.sphere_plane()
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+
+    def run_dense(mesh, seed):
+        acc, cnt, _ = render_queue_sharded(
+            mesh, prep, scene, st, cam, pix, W, H, seed,
+            args.lanes)
+        return acc
+
+    out["workloads"]["sphere_plane_queue"] = measure_scaling(
+        run_dense, counts)
+
+    # 2. mesh production renderer (cloud, flat wavefront + clusters)
+    cloud = scenes.cloud(2000)
+    prep_c = bvh.attach_clusters(trace.prepare(cloud), cloud,
+                                 group=64, min_count=64)
+    cam_c = initial_camera(3)
+
+    def run_flat(mesh, seed):
+        acc, cnt, _ = render_queue_flat_sharded(
+            mesh, prep_c, cloud, st, cam_c, pix, W, H, seed,
+            args.lanes)
+        return acc
+
+    out["workloads"]["cloud2k_flat"] = measure_scaling(run_flat, counts)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,31 +106,66 @@ def test_albedo_gradient_with_rr_statistically_consistent():
     assert 0.5 < abs(ana / fd) < 2.0, (ana, fd)
 
 
-def test_camera_gradient_is_finite_and_correlates_with_fd():
-    scene, cam, render_mean = _setup()
+def test_camera_gradient_matches_fd_edgeaware():
+    """Camera gradients with SILHOUETTE terms (SURVEY §7 hard part (b),
+    BASELINE.json "reparameterized edge-aware sampling"): the
+    warped-area estimator (``ops/edges.py``) carries the
+    primary-visibility boundary flux that the interior-only gradient
+    misses, upgrading this test's round-1/2 sign-consistency contract
+    to FD-allclose.
 
-    def loss(rx, seed):
+    Geometry note: the camera is pitched so the emissive quad is OUT
+    of frame — with it clipping the window border, the derivative is
+    dominated by bright content crossing the FIXED pixel window inside
+    the warp's damping margin, a window artifact rather than
+    silhouette physics.  FD uses h large enough that per-seed
+    visibility-flip noise (variance ~ 1/h) is bounded, and the
+    tolerance budgets the remaining FD standard error explicitly.
+    """
+    from wasm_pathtracer_tpu.ops import edges
+    scene = scenes.sphere_plane()
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.45, 0.0)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    px, py = pix % W, pix // W
+
+    @jax.jit
+    def loss_plain(rx, seed):
         c = Camera(location=cam.location, rot_x=rx, rot_y=cam.rot_y)
-        return render_mean(scene, c, seed)
+        col, _ = integrator.render_pixels(prep, scene, st, c, px, py,
+                                          W, H, seed)
+        return jnp.mean(col)
 
-    ana, fd = 0.0, 0.0
-    for s in SEEDS:
-        g = jax.grad(lambda x: loss(x, s))(cam.rot_x)
-        ana += float(g)
-        fd += (float(loss(cam.rot_x + 1e-3, s))
-               - float(loss(cam.rot_x - 1e-3, s))) / 2e-3
-    ana /= len(SEEDS)
-    fd /= len(SEEDS)
-    # The analytic camera gradient is the *interior* (shading) term;
-    # finite differences additionally pick up silhouette terms (rays
-    # crossing object edges produce O(1)/h jumps), which dominate at
-    # this resolution.  Edge-aware reparameterization is the planned
-    # fix (SURVEY §7 hard part (b)); until then the contract is:
-    # finite, non-zero, and sign-consistent with FD.
-    assert np.isfinite(ana)
-    assert ana != 0.0
-    if abs(fd) > 1e-3:
-        assert np.sign(ana) == np.sign(fd), (ana, fd)
+    @jax.jit
+    def g_edge(rx, seed):
+        def f(r):
+            c = Camera(location=cam.location, rot_x=r, rot_y=cam.rot_y)
+            col, _ = edges.render_pixels_edgeaware(
+                prep, scene, st, c, px, py, W, H, seed,
+                window_margin=0.75)
+            return jnp.mean(col)
+        return jax.grad(f)(rx)
+
+    h = 0.05
+    fd, ana = [], []
+    for s in range(64):
+        sd = jnp.uint32(11 + 97 * s)
+        fd.append((float(loss_plain(jnp.float32(cam.rot_x + h), sd))
+                   - float(loss_plain(jnp.float32(cam.rot_x - h), sd)))
+                  / (2 * h))
+        ana.append(float(g_edge(cam.rot_x, sd)))
+    fd, ana = np.array(fd), np.array(ana)
+    sem = fd.std() / np.sqrt(len(fd)) + ana.std() / np.sqrt(len(ana))
+    assert np.isfinite(ana).all()
+    assert np.sign(ana.mean()) == np.sign(fd.mean()), (ana.mean(), fd.mean())
+    # FD-allclose: within 10% of the converged FD plus the measured
+    # statistical uncertainty of the comparison itself
+    assert abs(ana.mean() - fd.mean()) <= \
+        0.10 * abs(fd.mean()) + 2.5 * sem, \
+        (ana.mean(), fd.mean(), sem)
 
 
 def _light_scene():
@@ -181,30 +216,59 @@ def test_light_vertex_gradient_matches_fd():
     assert abs(ana - fd) <= 0.10 * max(abs(fd), 1e-5), (ana, fd)
 
 
-def test_light_vertex_gradient_sign_with_occluder():
-    """With an occluder (sphere_plane), FD additionally carries the
-    shadow-boundary sweep; the interior-term analytic gradient must
-    still be finite and sign-consistent (the silhouette term is
-    VERDICT/SURVEY's named open hard part for geometry)."""
+def test_light_vertex_gradient_with_occluder_matches_fd():
+    """Light-geometry gradients UNDER OCCLUSION: lifting the light
+    sweeps the sphere's penumbra across the receiving plane — a
+    visibility derivative the interior terms do not carry.  With the
+    edge-aware NEE warp (``edge_aware_nee``: warped-area
+    reparameterization of the light-sample uniforms, ``ops/edges.py``)
+    the analytic gradient gains that flux, upgrading round-1/2's
+    sign-only contract to a magnitude bound against converged FD.
+    Camera pitched down so the emissive quad is out of frame (see the
+    camera test's geometry note)."""
     scene = scenes.sphere_plane()
     prep = trace.prepare(scene)
-    cam = Camera.create((0.0, 1.5, -2.0), 0.25, 0.0)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.55, 0.0)
     st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
                         rr_clamp_min=0.9, rr_clamp_max=0.9,
-                        early_exit=False)
+                        early_exit=False, edge_aware_nee=True)
+    st_plain = st.replace(edge_aware_nee=False)
     pix = jnp.arange(W * H, dtype=jnp.int32)
-
-    def loss(light_rows, seed):
-        sc = scene.with_light_rows(light_rows)
-        col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
-                                          pix // W, W, H, jnp.uint32(seed))
-        return jnp.mean(col)
-
     rows0 = scene.params[scene.light_shape]
     direction = jnp.zeros_like(rows0).at[:, 1::3].set(1.0)
-    ana, fd = _fd_vs_grad(loss, rows0, direction, h=2e-2)
-    assert np.isfinite(ana) and ana != 0.0
-    assert np.sign(ana) == np.sign(fd), (ana, fd)
+
+    @jax.jit
+    def loss_plain(light_rows, seed):
+        sc = scene.with_light_rows(light_rows)
+        col, _ = integrator.render_pixels(prep, sc, st_plain, cam,
+                                          pix % W, pix // W, W, H, seed)
+        return jnp.mean(col)
+
+    @jax.jit
+    def g_edge(light_rows, seed):
+        def f(rows):
+            sc = scene.with_light_rows(rows)
+            col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
+                                              pix // W, W, H, seed)
+            return jnp.mean(col)
+        return jnp.sum(jax.grad(f)(light_rows) * direction)
+
+    h = 0.05
+    fd, ana = [], []
+    for s in range(24):
+        sd = jnp.uint32(11 + 97 * s)
+        fd.append((float(loss_plain(rows0 + h * direction, sd))
+                   - float(loss_plain(rows0 - h * direction, sd))) / (2 * h))
+        ana.append(float(g_edge(rows0, sd)))
+    fd, ana = np.array(fd), np.array(ana)
+    sem = fd.std() / np.sqrt(len(fd)) + ana.std() / np.sqrt(len(ana))
+    assert np.isfinite(ana).all()
+    assert np.sign(ana.mean()) == np.sign(fd.mean()), (ana.mean(), fd.mean())
+    # magnitude bound: within 20% of converged FD plus measured noise
+    assert abs(ana.mean() - fd.mean()) <= \
+        0.20 * abs(fd.mean()) + 2.5 * sem, \
+        (ana.mean(), fd.mean(), sem)
+    assert 0.5 < ana.mean() / fd.mean() < 2.0, (ana.mean(), fd.mean())
 
 
 def _pnee_setup():

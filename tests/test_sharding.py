@@ -123,6 +123,41 @@ def test_queue_renderer_sharded_matches_unsharded():
     assert np.allclose(a1, a8, rtol=1e-5, atol=1e-6)
 
 
+def test_flat_wavefront_sharded_matches_unsharded():
+    """The MESH-production path (flat wavefront with fused cluster
+    traversal, ``ops/wavefront.py``) under shard_map on a cloud scene:
+    exact sample counts across device counts, radiance to
+    float-reassociation noise — the sharded realization of the
+    reference's largest workload class (``index.ts:224-226``)."""
+    from wasm_pathtracer_tpu.ops import bvh, wavefront
+    from wasm_pathtracer_tpu.parallel import render_queue_flat_sharded
+    scene = scenes.cloud(96)
+    prep = bvh.attach_clusters(trace.prepare(scene), scene, group=64,
+                               min_count=64)
+    cam = Camera.create((0.0, 0.5, -2.0), 0.05, 0.0)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=5)
+    W = H = 16
+    spp = 2
+    pix = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), spp)
+
+    acc0, cnt0, _ = jax.jit(lambda s: wavefront.render_queue_flat(
+        prep, scene, st, cam, pix, W, H, s, 128))(jnp.uint32(11))
+
+    mesh8 = make_ray_mesh(jax.devices()[:8])
+    mesh1 = make_ray_mesh(jax.devices()[:1])
+    acc8, cnt8, _ = render_queue_flat_sharded(mesh8, prep, scene, st, cam,
+                                              pix, W, H, jnp.uint32(11), 64)
+    acc1, cnt1, _ = render_queue_flat_sharded(mesh1, prep, scene, st, cam,
+                                              pix, W, H, jnp.uint32(11), 64)
+
+    assert np.array_equal(np.asarray(cnt0), np.asarray(cnt8))
+    assert np.array_equal(np.asarray(cnt1), np.asarray(cnt8))
+    assert int(np.asarray(cnt8).sum()) == W * H * spp
+    a0, a1, a8 = (np.asarray(x) for x in (acc0, acc1, acc8))
+    assert np.allclose(a0, a8, rtol=1e-5, atol=1e-6)
+    assert np.allclose(a1, a8, rtol=1e-5, atol=1e-6)
+
+
 def test_queue_renderer_sharded_ragged_queue():
     """Queue length not divisible by the device count: the pad sentinel
     must not leak samples into any pixel."""

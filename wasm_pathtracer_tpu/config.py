@@ -78,6 +78,17 @@ class RenderSettings:
     rr_clamp_min: float = 0.1
     rr_clamp_max: float = 0.9
 
+    # Edge-aware NEE gradients: warp the area-light sample uniforms so
+    # light-GEOMETRY gradients carry the shadow-boundary (visibility)
+    # flux past occluders (``ops/edges.py``; the north star's
+    # "reparameterized edge-aware sampling").  Value-preserving — the
+    # forward render is unchanged — but each NEE sample adds
+    # ``edge_nee_aux`` closed-form occluder-clearance probes, so it is
+    # a gradient-workload switch, off for production forward rendering.
+    edge_aware_nee: bool = False
+    edge_nee_aux: int = 6
+    edge_nee_radius: float = 0.12
+
     # --- Photon-guided NEE ------------------------------------------------
     # Photon preprocess budget (``src/tracer.rs:104``) and exchange rate of
     # photons per ray tick (``src/tracer.rs:107``).

@@ -244,6 +244,18 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
         lv = lrows[lid]                           # (R, 9)
         l0, l1, l2 = lv[:, 0:3], lv[:, 3:6], lv[:, 6:9]
         s1, s2, s3 = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_POINT)
+        j_nee = None
+        if settings.edge_aware_nee:
+            # warped-area reparameterization of the light-sample
+            # uniforms: light-geometry gradients gain the
+            # shadow-boundary (occluder visibility) flux — see
+            # ops/edges.py.  Values are preserved (s1/s2 unchanged,
+            # j_nee == 1); only theta-derivatives change.
+            from wasm_pathtracer_tpu.ops import edges
+            s1, s2, j_nee = edges.nee_warp(
+                prep, scene, lv, scene.light_shape[lid], hit_point,
+                s1, s2, n_aux=settings.edge_nee_aux,
+                radius=settings.edge_nee_radius)
         p_l, n_l = isx.triangle_pick_random(l0, l1, l2, s1, s2, s3)
         intensity = lint[lid]
 
@@ -264,6 +276,10 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
             area = isx.triangle_area(l0, l1, l2)
             solid_angle = area * cos_o_l / dis_sq
             w = solid_angle * cos_i_l / jnp.maximum(light_chance, 1e-12)
+            if j_nee is not None:
+                # warp Jacobian (value 1): completes the warped-area
+                # estimator d/dtheta [f(T(u)) * |dT/du|]
+                w = w * j_nee
             # double-where: zero w on masked lanes BEFORE the
             # multiply so the VJP never sees 0 * non-finite
             w = jnp.where(nee_mask, w, 0.0)

@@ -83,30 +83,25 @@ def render_image_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
     return img
 
 
-def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
-                         settings: RenderSettings, camera: Camera,
-                         pix_queue, width: int, height: int, seed,
-                         lanes_per_device: int, rid_base: int = 0):
-    """The PRODUCTION renderer under ``shard_map``: the persistent
-    regenerating wavefront (``integrator.render_queue``) with the
-    sample queue sharded over the ``rays`` axis and the scene
-    replicated.
+def _queue_sharded(renderer, mesh: Mesh, prep: trace.ScenePrep, scene,
+                   settings: RenderSettings, camera: Camera,
+                   pix_queue, width: int, height: int, seed,
+                   lanes_per_device: int, rid_base: int):
+    """Shared shard_map wrapper for the persistent-wavefront renderers.
 
-    Each device runs the full wavefront over its queue shard; partial
-    frame sums ``psum`` over ICI.  Path RNG is keyed by the GLOBAL
-    queue index (``axis_index * shard + rid_base``), so every path's
-    radiance is a pure function of (queue, seed) — independent of the
-    device count.  Per-pixel ORDER of float accumulation does depend on
-    the partition, so cross-device-count agreement is exact in sample
-    counts and ~1e-6-relative in radiance (float reassociation), which
-    the sharding test pins down.
+    Each device runs the full wavefront over its queue shard with the
+    scene replicated; partial frame sums ``psum`` over ICI.  Path RNG
+    is keyed by the GLOBAL queue index (``axis_index * shard +
+    rid_base``), so every path's radiance is a pure function of
+    (queue, seed) — independent of the device count.  Per-pixel ORDER
+    of float accumulation does depend on the partition, so
+    cross-device-count agreement is exact in sample counts and
+    ~1e-6-relative in radiance (float reassociation), which the
+    sharding tests pin down.
 
     The queue is padded to a device multiple with the out-of-range
-    pixel id ``width*height``; the splat scatter drops it
-    (``integrator.render_queue`` uses mode="drop").
-
-    Returns (color_sum (H*W, 3), n_samples (H*W,) int32, cost scalar
-    f32) — accumulate as ``accum.write_sums``.
+    pixel id ``width*height``; the splat scatter drops it (both
+    renderers scatter with mode="drop").
     """
     n_dev = mesh.devices.size
     S = pix_queue.shape[0]
@@ -121,7 +116,7 @@ def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
     def run(pix_s, scene_s, camera_s, seed_s):
         base = jnp.uint32(rid_base) + \
             jax.lax.axis_index("rays").astype(jnp.uint32) * jnp.uint32(shard)
-        acc, cnt, lane_cost = integrator.render_queue(
+        acc, cnt, lane_cost = renderer(
             prep, scene_s, settings, camera_s, pix_s, width, height,
             seed_s, lanes_per_device, rid_base=base)
         acc = jax.lax.psum(acc, "rays")
@@ -130,6 +125,48 @@ def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
         return acc, cnt, cost
 
     return run(pixq, scene, camera, seed)
+
+
+def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
+                         settings: RenderSettings, camera: Camera,
+                         pix_queue, width: int, height: int, seed,
+                         lanes_per_device: int, rid_base: int = 0):
+    """The persistent regenerating wavefront
+    (``integrator.render_queue``) under ``shard_map`` — the production
+    renderer for dense (non-clustered) scenes.
+
+    Returns (color_sum (H*W, 3), n_samples (H*W,) int32, cost scalar
+    f32) — accumulate as ``accum.write_sums``.
+    """
+    return _queue_sharded(integrator.render_queue, mesh, prep, scene,
+                          settings, camera, pix_queue, width, height,
+                          seed, lanes_per_device, rid_base)
+
+
+def render_queue_flat_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
+                              settings: RenderSettings, camera: Camera,
+                              pix_queue, width: int, height: int, seed,
+                              lanes_per_device: int, rid_base: int = 0):
+    """The FLAT persistent wavefront (``wavefront.render_queue_flat``)
+    under ``shard_map`` — the production renderer for cluster scenes
+    (meshes, clouds), i.e. the TPU realization of the reference's
+    N-workers-over-pixel-subsets design (``src/wasm_interface.rs:26-30``,
+    ``src_ts/client/util.ts:15-24``) for its LARGEST workloads
+    (``src_ts/client/index.ts:213-226``).
+
+    Requires ``prep.cluster``.  Same determinism contract as
+    :func:`render_queue_sharded`: per-path radiance is bit-identical
+    across device counts (global-index RNG keying,
+    ``ops/wavefront.py``), only per-pixel float accumulation order
+    varies.
+
+    Returns (color_sum (H*W, 3), n_samples (H*W,) int32, cost scalar
+    f32).
+    """
+    from wasm_pathtracer_tpu.ops import wavefront
+    return _queue_sharded(wavefront.render_queue_flat, mesh, prep, scene,
+                          settings, camera, pix_queue, width, height,
+                          seed, lanes_per_device, rid_base)
 
 
 def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
