@@ -101,6 +101,37 @@ def test_fits_vmem_gate():
     assert not pp.fits_vmem(prep64.cluster)   # kernel requires G == 128
 
 
+def test_probe_min_matches_xla_reduction():
+    """probe_blocks_min's in-kernel (min, argmin-sid) must equal the
+    XLA fallback's ``argmin`` + ``sid_grid`` gather, including the
+    first-slot tie-break, on every family mix."""
+    scene = _mixed_scene()
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=32)
+    cs = prep.cluster
+    C, G = cs.blocks.shape[0], cs.blocks.shape[1]
+    n = 101   # ragged lane count
+    o, d = _rays(n, 3)
+    cidx = (jnp.arange(n, dtype=jnp.int32) * 7) % C
+    blk = jnp.take(cs.blocks, cidx, axis=0)
+    bt = jnp.take(cs.btype, cidx, axis=0)
+    t_blk = cl._block_test(o, d, blk, bt, cs.families)
+    jloc = jnp.argmin(t_blk, axis=1)
+    t_ref = np.asarray(jnp.min(t_blk, axis=1))
+    sid_grid = cs.slot_to_sid.reshape(C, G)
+    sid_ref = np.asarray(jnp.take(sid_grid, cidx, axis=0)[
+        jnp.arange(n), jloc])
+    with pltpu.force_tpu_interpret_mode():
+        table = pp.pack_table(cs)
+        t_pl, sid_pl = pp.probe_blocks_min(cs, table, o, d, cidx)
+    t_pl, sid_pl = np.asarray(t_pl), np.asarray(sid_pl)
+    fin = np.isfinite(t_ref)
+    assert (np.isfinite(t_pl) == fin).all()
+    np.testing.assert_allclose(t_pl[fin], t_ref[fin], rtol=1e-5,
+                               atol=1e-5)
+    assert (sid_pl[fin] == sid_ref[fin]).all()
+
+
 def test_flat_wavefront_with_pallas_probe_end_to_end():
     """The flat wavefront with the Pallas select+probe kernels enabled
     (interpret mode) must match the XLA-path flat wavefront exactly in

@@ -12,17 +12,33 @@ The TPU-native fix exploits that a whole cluster table is small: at
 G=128 and 100k primitives it is ~790 clusters x 16 rows x 128 lanes x
 4 B = 6.5 MB — it FITS IN VMEM (~16 MB/core).  So the kernel keeps the
 entire table VMEM-resident (fetched from HBM once per dispatch), and
-each grid step serves 8 lanes: their cluster indices arrive in SMEM,
-each index dynamically slices a (16, 128) tile out of the table (a
-VMEM-local move, no HBM traffic at all), the 8 tiles are re-stacked
-into (8, 128) parameter rows, and the masked type-switched
-intersection test runs at full (8, 128) VPU occupancy.
+each grid step serves a group of lanes: their cluster indices arrive
+in SMEM, each index dynamically slices a (16, 128) tile out of the
+table (a VMEM-local move, no HBM traffic at all), the tiles are
+re-stacked into (LANE_GROUP, 128) parameter rows, and the masked
+type-switched intersection test runs at full VPU occupancy.
+
+LANE_GROUP is 64, not the sublane-count 8: grid-step count is the
+dominant cost of this kernel, not the slices or the restack.  Measured
+on a v5e at B=32k, C=550 (one probe round per iteration inside a
+device-side loop): 1.15 ms/round at LANE_GROUP=8 vs 0.47 at 32 and
+0.37 at 64 (128 plateaus at 0.36); a variant with all slices removed
+or the restack removed times the same at LG=8, so the per-step fixed
+overhead — not data movement — set the old cost.
+
+The kernel also REDUCES in-kernel: instead of returning the (B, G)
+candidate matrix to HBM (16 MB/round at 32k lanes, plus an XLA argmin
++ a (B,) shape-id gather measured at 0.33 ms/round), it returns one
+(t, shape_id) pair per lane.  Shape ids ride the table itself (row 10,
+exact in f32 below 2^24), so the argmin, the slot->sid lookup, and
+the first-slot tie-break all happen on the (LG, G) tile in VMEM.
 
 Table layout (``pack_table``): row-major (C, 16, G) f32 —
 rows 0-8 the primitive parameter rows transposed (params on sublanes,
-slots on lanes), row 9 the PrimType code as f32 (-1 padding), rows
-10-15 zero padding to the 16-sublane f32 tile so every cluster's tile
-is tile-aligned for the dynamic slice.
+slots on lanes), row 9 the PrimType code as f32 (-1 padding), row 10
+the slot's global shape id as f32 (-1 padding), rows 11-15 zero
+padding to the 16-sublane f32 tile so every cluster's tile is
+tile-aligned for the dynamic slice.
 
 The test formulas transcribe ``ops.cluster._block_test``'s per-family
 kernels verbatim (which in turn cite the reference per primitive), so
@@ -44,8 +60,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wasm_pathtracer_tpu.models.scene import PrimType
 
-LANE_GROUP = 8          # lanes served per grid step (f32 sublane count)
-TABLE_ROWS = 16         # 9 params + 1 type code, padded to 2 f32 tiles
+LANE_GROUP = 64         # lanes served per probe grid step (see module doc)
+TABLE_ROWS = 16         # 9 params + type code + sid, padded to 2 f32 tiles
 VMEM_TABLE_BYTES = 8 * 2 ** 20   # table budget; beyond it, XLA fallback
 
 _EPS_SLACK = 0.1 * 2e-4          # triangle.rs:44
@@ -62,16 +78,18 @@ def fits_vmem(cs) -> bool:
 
 
 def pack_table(cs):
-    """(C, G, 9) blocks + (C, G) btype -> (C, 16, G) kernel table.
+    """(C, G, 9) blocks + (C, G) btype + slot sids -> (C, 16, G) table.
 
     Runs inside jit; build it OUTSIDE any traversal loop (it is
-    loop-invariant) and pass it to :func:`probe_blocks`.
+    loop-invariant) and pass it to :func:`probe_blocks` /
+    :func:`probe_blocks_min`.
     """
     C, G, _ = cs.blocks.shape
     params = jnp.transpose(cs.blocks, (0, 2, 1))          # (C, 9, G)
     btype = cs.btype.astype(jnp.float32)[:, None, :]      # (C, 1, G)
-    pad = jnp.zeros((C, TABLE_ROWS - 10, G), jnp.float32)
-    return jnp.concatenate([params, btype, pad], axis=1)
+    sid = cs.slot_to_sid.reshape(C, 1, G).astype(jnp.float32)
+    pad = jnp.zeros((C, TABLE_ROWS - 11, G), jnp.float32)
+    return jnp.concatenate([params, btype, sid, pad], axis=1)
 
 
 def _cross(ax, ay, az, bx, by, bz):
@@ -365,36 +383,76 @@ def select_blocks(cs, aabbs, o, d, skip_e, skip_c, C: int):
     return e_cur, c_cur, out[:, 2]
 
 
+def _probe_body(families, G, cidx_ref, rays_ref, tab_ref):
+    """Shared probe body: gather per-lane tiles, restack, test.
+
+    Returns (t (LG, G) candidate distances, sid (LG, G) f32 row).
+    """
+    rays = rays_ref[0]                                    # (LG, 8)
+    tiles = []
+    for j in range(LANE_GROUP):
+        c = cidx_ref[0, 0, j]
+        tiles.append(tab_ref[pl.ds(c, 1), :, :][0])
+    # re-stack: parameter row k for the LG lanes -> (LG, G)
+    A = [jnp.concatenate([tl[k:k + 1, :] for tl in tiles], axis=0)
+         for k in range(11)]
+    o = (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3])        # (LG, 1) each
+    d = (rays[:, 3:4], rays[:, 4:5], rays[:, 5:6])
+    btype = A[9]
+    t = jnp.full((LANE_GROUP, G), jnp.inf, jnp.float32)
+    for fam in families:
+        tf = _TESTS[fam](A, o, d)
+        t = jnp.where(btype == jnp.float32(fam), tf, t)
+    return t, A[10]
+
+
+def _reduce_min_sid(t, sid_row, G):
+    """(LG, G) candidates -> per-lane (t_min, sid at the FIRST minimum
+    slot) — the same tie-break as ``jnp.argmin`` in the XLA fallback."""
+    tloc = jnp.min(t, axis=1, keepdims=True)              # (LG, 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) \
+        .astype(jnp.float32)
+    jloc = jnp.min(jnp.where(t == tloc, slot, float(G)), axis=1,
+                   keepdims=True)
+    sidv = jnp.sum(jnp.where(slot == jloc, sid_row, 0.0), axis=1,
+                   keepdims=True)
+    return tloc, sidv
+
+
 def _make_kernel(families, G):
     def kernel(cidx_ref, rays_ref, tab_ref, t_ref):
-        # cidx_ref: (1, 8) SMEM int32; rays_ref: (1, 8, 8) VMEM
+        # cidx_ref: (1, 1, LG) SMEM int32; rays_ref: (1, LG, 8) VMEM
         # (ox oy oz dx dy dz _ _); tab_ref: (C, 16, G) VMEM (whole
-        # table); t_ref: (8, G) out.
-        rays = rays_ref[0]                                # (8, 8)
-        tiles = []
-        for j in range(LANE_GROUP):
-            c = cidx_ref[0, 0, j]
-            tiles.append(tab_ref[pl.ds(c, 1), :, :][0])
-        # re-stack: parameter row k for the 8 lanes -> (8, G)
-        A = [jnp.concatenate([tl[k:k + 1, :] for tl in tiles], axis=0)
-             for k in range(10)]
-        o = (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3])    # (8, 1) each
-        d = (rays[:, 3:4], rays[:, 4:5], rays[:, 5:6])
-        btype = A[9]
-        t = jnp.full((LANE_GROUP, G), jnp.inf, jnp.float32)
-        for fam in families:
-            tf = _TESTS[fam](A, o, d)
-            t = jnp.where(btype == jnp.float32(fam), tf, t)
+        # table); t_ref: (LG, G) out.
+        t, _ = _probe_body(families, G, cidx_ref, rays_ref, tab_ref)
         t_ref[...] = t
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("families",))
-def _probe_call(table, rays, cidx, families):
+def _make_min_kernel(families, G):
+    def kernel(cidx_ref, rays_ref, tab_ref, out_ref):
+        # out_ref: (LG, 8) — col 0 min distance, col 1 shape id (f32,
+        # sid of the first minimum slot; -1 padding rides the table).
+        t, sid_row = _probe_body(families, G, cidx_ref, rays_ref,
+                                 tab_ref)
+        tloc, sidv = _reduce_min_sid(t, sid_row, G)
+        out_ref[...] = jnp.concatenate(
+            [tloc, sidv, jnp.zeros((LANE_GROUP, 6), jnp.float32)],
+            axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("families", "want_min"))
+def _probe_call(table, rays, cidx, families, want_min=False):
     C, ROWS, G = table.shape
-    NG = cidx.shape[0]                                    # B / 8 groups
-    kernel = _make_kernel(families, G)
+    NG = cidx.shape[0]                                    # B / LG groups
+    kernel = (_make_min_kernel if want_min else _make_kernel)(families, G)
+    out_shape = (jax.ShapeDtypeStruct((NG * LANE_GROUP, 8), jnp.float32)
+                 if want_min else
+                 jax.ShapeDtypeStruct((NG * LANE_GROUP, G), jnp.float32))
+    out_block = (LANE_GROUP, 8) if want_min else (LANE_GROUP, G)
     return pl.pallas_call(
         kernel,
         grid=(NG,),
@@ -406,10 +464,21 @@ def _probe_call(table, rays, cidx, families):
             pl.BlockSpec((C, ROWS, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LANE_GROUP, G), lambda i: (i, 0),
+        out_specs=pl.BlockSpec(out_block, lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NG * LANE_GROUP, G), jnp.float32),
+        out_shape=out_shape,
     )(cidx, rays, table)
+
+
+def _pad_args(cs, o, d, cidx):
+    B = o.shape[0]
+    C = cs.blocks.shape[0]
+    pad = (-B) % LANE_GROUP
+    rays = jnp.concatenate([o, d, jnp.zeros((B, 2), jnp.float32)], axis=1)
+    rays = jnp.pad(rays, ((0, pad), (0, 0))).reshape(-1, LANE_GROUP, 8)
+    cidx = jnp.clip(cidx, 0, C - 1)
+    cidx = jnp.pad(cidx, (0, pad)).reshape(-1, 1, LANE_GROUP)
+    return rays, cidx
 
 
 def probe_blocks(cs, table, o, d, cidx):
@@ -426,12 +495,20 @@ def probe_blocks(cs, table, o, d, cidx):
     Returns (B, G) candidate distances, +inf on miss/padding.
     """
     B = o.shape[0]
-    G = cs.blocks.shape[1]
-    C = cs.blocks.shape[0]
-    pad = (-B) % LANE_GROUP
-    rays = jnp.concatenate([o, d, jnp.zeros((B, 2), jnp.float32)], axis=1)
-    rays = jnp.pad(rays, ((0, pad), (0, 0))).reshape(-1, LANE_GROUP, 8)
-    cidx = jnp.clip(cidx, 0, C - 1)
-    cidx = jnp.pad(cidx, (0, pad)).reshape(-1, 1, LANE_GROUP)
+    rays, cidx = _pad_args(cs, o, d, cidx)
     t = _probe_call(table, rays, cidx, cs.families)
     return t[:B]
+
+
+def probe_blocks_min(cs, table, o, d, cidx):
+    """Probe + in-kernel reduction: the Pallas twin of
+    ``jnp.take + _block_test + argmin + sid_grid gather`` in one pass.
+
+    Returns (t_min (B,) f32, sid (B,) int32) — sid is the shape id at
+    the first minimum slot (== the XLA fallback's ``argmin`` pick);
+    garbage-but-deterministic (-1 or 0) when t_min is +inf.
+    """
+    B = o.shape[0]
+    rays, cidx = _pad_args(cs, o, d, cidx)
+    out = _probe_call(table, rays, cidx, cs.families, want_min=True)[:B]
+    return out[:, 0], out[:, 1].astype(jnp.int32)

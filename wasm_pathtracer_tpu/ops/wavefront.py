@@ -236,17 +236,19 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         skip_c = jnp.where(probing, c_cur, skip_c)
 
         if use_pp:
-            t_blk = pp.probe_blocks(cs, table, tr_o, tr_d, c_cur)
+            # min + argmin-sid happen inside the kernel — no (B, G)
+            # HBM roundtrip, no XLA post-reduction
+            tloc, sid_loc = pp.probe_blocks_min(cs, table, tr_o, tr_d,
+                                                c_cur)
         else:
             block = jnp.take(cs.blocks, c_cur, axis=0)      # (B, G, 9)
             btype = jnp.take(cs.btype, c_cur, axis=0)       # (B, G)
             t_blk = cl._block_test(tr_o, tr_d, block, btype, cs.families)
-        t_blk = jnp.where(probing[:, None], t_blk, jnp.inf)
-        jloc = jnp.argmin(t_blk, axis=1).astype(jnp.int32)
-        tloc = jnp.min(t_blk, axis=1)
-        sid_loc = jnp.take(sid_grid, c_cur, axis=0)[
-            jnp.arange(B), jloc]                            # (B,)
-        better = tloc < t_best
+            jloc = jnp.argmin(t_blk, axis=1).astype(jnp.int32)
+            tloc = jnp.min(t_blk, axis=1)
+            sid_loc = jnp.take(sid_grid, c_cur, axis=0)[
+                jnp.arange(B), jloc]                        # (B,)
+        better = probing & (tloc < t_best)
         t_best = jnp.where(better, tloc, t_best)
         sid_best = jnp.where(better, sid_loc, sid_best)
         cost = cost + jnp.where(probing, G, 0)
