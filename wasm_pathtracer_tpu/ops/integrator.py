@@ -103,17 +103,24 @@ def _schlick(cos_i, n1, n2):
 
 
 def _light_table(scene: SceneData):
-    """Area-light rows/intensities, gathered per call so gradients reach
-    the scene params (``scene.rs:47-66`` registers emissive shapes)."""
+    """Area-light table, gathered per call so gradients reach the
+    scene params (``scene.rs:47-66`` registers emissive shapes).
+
+    Packed as ONE (L, 16) row — vertices 0:9, intensity 9:12, shape id
+    12 — so the per-lane NEE lookup is a single gather (a TPU gather
+    costs ~0.2-0.4 ms per *op* at 32k lanes regardless of width)."""
     lrows = scene.params[scene.light_shape]          # (L, 9)
     lint = scene.emission[scene.light_shape]         # (L, 3)
-    return lrows, lint, max(scene.num_lights, 1)
+    lpack = jnp.concatenate(
+        [lrows, lint, scene.light_shape[:, None].astype(jnp.float32),
+         jnp.zeros((lrows.shape[0], 3), jnp.float32)], axis=1)
+    return lpack, max(scene.num_lights, 1)
 
 
 def _shade_core(prep: tr.ScenePrep, scene: SceneData,
                 settings: RenderSettings, light_tab, photon_grid,
                 o, d, throughput, color, alive, hdb, absorb,
-                slot0, ray_id, seed, t, sid, hit):
+                slot0, ray_id, seed, t, sid, hit, packed_rows=None):
     """Everything :func:`_bounce_step` does AFTER the scene trace,
     except resolving the NEE occlusion query.
 
@@ -142,7 +149,7 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
     has_nee = settings.has_nee
     use_pnee = settings.render_type == RenderType.PNEE and photon_grid is not None
     eps = settings.epsilon
-    lrows, lint, n_lights = light_tab
+    lpack, n_lights = light_tab
 
     shadow_req = None
     sid_c = jnp.maximum(sid, 0)
@@ -150,7 +157,7 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
     # value so no inf/NaN ever enters a masked lane (masked NaNs
     # poison gradients through the 0 * NaN VJP of jnp.where)
     t_safe = jnp.where(hit, t, 1.0)
-    info = tr.hit_info(scene, o, d, t_safe, sid_c)
+    info = tr.hit_info(scene, o, d, t_safe, sid_c, packed=packed_rows)
 
     # Beer-Lambert absorption through the current medium
     # (restored refract capability; no-op when absorb == 0)
@@ -241,7 +248,10 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
                               n_lights - 1)
             light_chance = jnp.full((R,), 1.0 / n_lights, jnp.float32)
 
-        lv = lrows[lid]                           # (R, 9)
+        lrow = lpack[lid]                         # (R, 16) — ONE gather
+        lv = lrow[:, 0:9]
+        intensity = lrow[:, 9:12]
+        lsid_g = lrow[:, 12].astype(jnp.int32)
         l0, l1, l2 = lv[:, 0:3], lv[:, 3:6], lv[:, 6:9]
         s1, s2, s3 = rnglib.uniform3(seed, ray_id, slot0 + _SLOT_LIGHT_POINT)
         j_nee = None
@@ -253,11 +263,10 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
             # j_nee == 1); only theta-derivatives change.
             from wasm_pathtracer_tpu.ops import edges
             s1, s2, j_nee = edges.nee_warp(
-                prep, scene, lv, scene.light_shape[lid], hit_point,
+                prep, scene, lv, lsid_g, hit_point,
                 s1, s2, n_aux=settings.edge_nee_aux,
                 radius=settings.edge_nee_radius)
         p_l, n_l = isx.triangle_pick_random(l0, l1, l2, s1, s2, s3)
-        intensity = lint[lid]
 
         to_l = p_l - hit_point
         dis_sq = jnp.maximum(vm.length_sq(to_l), 1e-12)
@@ -272,7 +281,7 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
             color = color + jnp.where(nee_mask[..., None],
                                       new_tp * intensity, 0.0)
         else:
-            light_sid = scene.light_shape[lid]
+            light_sid = lsid_g
             area = isx.triangle_area(l0, l1, l2)
             solid_angle = area * cos_o_l / dis_sq
             w = solid_angle * cos_i_l / jnp.maximum(light_chance, 1e-12)
@@ -321,7 +330,7 @@ def _apply_shadow(color, shadow_req, occluded):
 def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
                  settings: RenderSettings, light_tab, photon_grid,
                  o, d, throughput, color, alive, hdb, absorb,
-                 slot0, ray_id, seed):
+                 slot0, ray_id, seed, packed_rows=None):
     """One lockstep wavefront bounce over a ray batch: scene trace,
     :func:`_shade_core`, and the NEE shadow ray resolved inline.
 
@@ -334,7 +343,7 @@ def _bounce_step(prep: tr.ScenePrep, scene: SceneData,
     carry, shadow_req = _shade_core(
         prep, scene, settings, light_tab, photon_grid,
         o, d, throughput, color, alive, hdb, absorb,
-        slot0, ray_id, seed, t, sid, hit)
+        slot0, ray_id, seed, t, sid, hit, packed_rows=packed_rows)
     if shadow_req is not None:
         o2, d2, tp2, color2, alive2, hdb2, absorb2 = carry
         occluded, sc = tr.shadow_ray(prep, scene, shadow_req["p_from"],
@@ -362,6 +371,7 @@ def trace_paths(prep: tr.ScenePrep, scene: SceneData,
     """
     R = o.shape[0]
     light_tab = _light_table(scene)
+    packed_rows = tr.pack_hit_rows(scene)    # loop-invariant, built once
 
     def bounce(carry, b):
         o, d, throughput, color, alive, hdb, absorb, cost = carry
@@ -369,7 +379,7 @@ def trace_paths(prep: tr.ScenePrep, scene: SceneData,
         (o, d, throughput, color, alive, hdb, absorb), step_cost = \
             _bounce_step(prep, scene, settings, light_tab, photon_grid,
                          o, d, throughput, color, alive, hdb, absorb,
-                         slot0, ray_id, seed)
+                         slot0, ray_id, seed, packed_rows=packed_rows)
         cost = cost + step_cost
         return (o, d, throughput, color, alive, hdb, absorb, cost), None
 
@@ -487,6 +497,7 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         return (jnp.zeros((HW, 3), jnp.float32), counts,
                 jnp.zeros((B,), jnp.int32))
     light_tab = _light_table(scene)
+    packed_rows = tr.pack_hit_rows(scene)    # loop-invariant, built once
     # lane ring capacity: ceil(S/B) guarantees no stranded queue slot
     # (all lanes capped implies B*K >= S paths recorded); slack covers
     # lane imbalance.  See the deferred-accumulation note below.
@@ -538,7 +549,8 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         (o, d, tp, col, alive, hdb, absorb), step_cost = _bounce_step(
             prep, scene, settings, light_tab, photon_grid,
             st["o"], st["d"], st["tp"], st["col"], was, st["hdb"],
-            st["absorb"], slot0, st["rid"], seed)
+            st["absorb"], slot0, st["rid"], seed,
+            packed_rows=packed_rows)
         cost = st["cost"] + step_cost
         bounce = st["bounce"] + jnp.uint32(1)
 

@@ -263,17 +263,49 @@ def shadow_ray(prep: ScenePrep, scene: SceneData, p, point_on_light,
 # for the winning shape of each ray)
 # ---------------------------------------------------------------------------
 
-def hit_info(scene: SceneData, o, d, t, sid):
+def pack_hit_rows(scene: SceneData):
+    """One (N, 24) f32 row per shape: params 0:9, albedo 9:12,
+    emission 12:15, mat_extra 15:20, ptype 20, mat_kind 21, tex_id 22,
+    pad 23.
+
+    A TPU gather costs ~0.36 ms per *op* at 32k lanes nearly
+    independent of row width (measured v5e: one (B,16) row gather
+    0.41 ms vs five narrow gathers 1.00 ms), so :func:`hit_info` reads
+    ONE packed row instead of seven separate tables.  Int columns are
+    exact in f32 (values << 2^24).  Differentiable leaves (albedo /
+    emission / mat_extra) flow through concat->gather->slice, so
+    gradients are unchanged.
+
+    Loop callers should build this once outside their bounce loop and
+    pass it to :func:`hit_info` — it depends on the (possibly updated)
+    material leaves, so it cannot be baked into ``ScenePrep``.
+    """
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [scene.params, scene.albedo, scene.emission, scene.mat_extra,
+         scene.ptype[:, None].astype(f32),
+         scene.mat_kind[:, None].astype(f32),
+         scene.tex_id[:, None].astype(f32),
+         jnp.zeros((scene.params.shape[0], 1), f32)], axis=1)
+
+
+def hit_info(scene: SceneData, o, d, t, sid, packed=None):
     """Normals, entering flags and material rows for hits.
 
     Per-ray single-row gathers; all six primitive normal formulas are
     evaluated on the gathered row and selected by type (cheap: one row
     per ray, not per primitive).
 
+    ``packed`` is :func:`pack_hit_rows`'s output (built here when not
+    supplied — loop callers pass it in to keep it loop-invariant).
+
     Returns dict with n, is_entering, kind, albedo, emission, extra.
     """
-    rows = scene.params[sid]                       # (R, 9)
-    pt = scene.ptype[sid]                          # (R,)
+    if packed is None:
+        packed = pack_hit_rows(scene)
+    prow = packed[sid]                             # (R, 24) — ONE gather
+    rows = prow[:, 0:9]
+    pt = prow[:, 20].astype(jnp.int32)             # (R,)
 
     n_pl, e_pl = isx.plane_normal(d, rows[:, 3:6])
     n_sp, e_sp = isx.sphere_normal(o, d, t, rows[:, 0:3], rows[:, 3])
@@ -296,8 +328,8 @@ def hit_info(scene: SceneData, o, d, t, sid):
                                 PrimType.AARECT, PrimType.SQUARE)],
         [e_pl, e_sp, e_tr, e_to, e_aa, e_sq], default=True)
 
-    albedo = scene.albedo[sid]
-    tex = scene.tex_id[sid]
+    albedo = prow[:, 9:12]
+    tex = prow[:, 22].astype(jnp.int32)
     if scene.textures.shape[0] > 0:
         u, v = _hit_uv(pt, rows, o, d, t, n)
         albedo = jnp.where((tex >= 0)[..., None],
@@ -306,10 +338,10 @@ def hit_info(scene: SceneData, o, d, t, sid):
     return dict(
         n=n,
         is_entering=ent,
-        kind=scene.mat_kind[sid],
+        kind=prow[:, 21].astype(jnp.int32),
         albedo=albedo,
-        emission=scene.emission[sid],
-        extra=scene.mat_extra[sid],
+        emission=prow[:, 12:15],
+        extra=prow[:, 15:20],
     )
 
 

@@ -127,6 +127,7 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         return _early(jnp.zeros((HW,), jnp.int32).at[pix_queue].add(1))
 
     light_tab = itg._light_table(scene)
+    packed_rows = tr.pack_hit_rows(scene)    # loop-invariant, built once
     prep_nc = dataclasses.replace(prep, cluster=None)
     sid_grid = cs.slot_to_sid.reshape(C, G)
     eps = settings.epsilon
@@ -274,7 +275,8 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             itg._shade_core(prep, scene, settings, light_tab, photon_grid,
                             tr_o, tr_d, st["tp"], col, shade, st["hdb"],
                             st["absorb"], slot0, st["rid"], seed,
-                            t_best, sid_best, jnp.isfinite(t_best))
+                            t_best, sid_best, jnp.isfinite(t_best),
+                            packed_rows=packed_rows)
         # adopt estimator updates ONLY on shade lanes: _shade_core's
         # carry passes (tr_o, tr_d) — the ray currently being traced —
         # through unchanged on non-scatter lanes, so adopting o_n/d_n
