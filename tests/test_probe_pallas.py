@@ -162,7 +162,8 @@ def test_flat_wavefront_with_pallas_probe_end_to_end():
 
 def test_select_matches_xla():
     """select_blocks must reproduce the XLA slab + lex-cursor filter +
-    reductions exactly (same entries, ids and next-candidate)."""
+    reductions exactly (same first/second candidates and the entry
+    after both)."""
     scene = _mixed_scene()
     prep = bvh.attach_clusters(trace.prepare(scene), scene,
                                group=128, min_count=32)
@@ -181,16 +182,28 @@ def test_select_matches_xla():
     unvis = (ent > skip_e[:, None]) | ((ent == skip_e[:, None])
                                        & (cid > skip_c[:, None]))
     ent = jnp.where(unvis, ent, jnp.inf)
-    e0 = jnp.min(ent, axis=1)
-    c0 = jnp.minimum(jnp.min(jnp.where(ent == e0[:, None], cid, C),
-                             axis=1), C - 1)
-    en0 = jnp.min(jnp.where((ent > e0[:, None]) |
-                            ((ent == e0[:, None]) & (cid > c0[:, None])),
-                            ent, jnp.inf), axis=1)
+
+    def lexmin(ent):
+        e = jnp.min(ent, axis=1)
+        c = jnp.minimum(jnp.min(jnp.where(ent == e[:, None], cid, C),
+                                axis=1), C - 1)
+        rest = jnp.where((ent > e[:, None]) |
+                         ((ent == e[:, None]) & (cid > c[:, None])),
+                         ent, jnp.inf)
+        return e, c, rest
+
+    e0, c0, ent1 = lexmin(ent)
+    eb0, cb0, ent2 = lexmin(ent1)
+    ea0 = jnp.min(ent2, axis=1)
     with pltpu.force_tpu_interpret_mode():
         aabbs = pp.pack_aabbs(cs)
-        e1, c1, en1 = pp.select_blocks(cs, aabbs, o, d, skip_e, skip_c, C)
+        e1, c1, eb1, cb1, ea1 = pp.select_blocks(cs, aabbs, o, d,
+                                                 skip_e, skip_c, C)
     np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
     fin = np.isfinite(np.asarray(e0))
     np.testing.assert_array_equal(np.asarray(c0)[fin], np.asarray(c1)[fin])
-    np.testing.assert_array_equal(np.asarray(en0), np.asarray(en1))
+    np.testing.assert_array_equal(np.asarray(eb0), np.asarray(eb1))
+    finb = np.isfinite(np.asarray(eb0))
+    np.testing.assert_array_equal(np.asarray(cb0)[finb],
+                                  np.asarray(cb1)[finb])
+    np.testing.assert_array_equal(np.asarray(ea0), np.asarray(ea1))

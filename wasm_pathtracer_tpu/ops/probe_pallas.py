@@ -294,11 +294,17 @@ SELECT_GROUP = 64
 
 def _make_select_kernel(C: int):
     def kernel(rays_ref, aabb_ref, out_ref):
-        """Per-lane lex-min unvisited cluster.
+        """Per-lane TWO lex-min unvisited clusters.
 
         rays_ref: (1, LG, 16) — cols 0-5 ray o/d, 6 skip_e, 7 skip_c
         (f32), rest padding.  aabb_ref: (8, Cpad) packed boxes.
-        out_ref: (LG, 8) — cols 0 e_cur, 1 c_cur (f32), 2 e_next.
+        out_ref: (LG, 8) — cols 0 e_cur, 1 c_cur, 2 e_b, 3 c_b (f32),
+        4 e_after: the first and second unvisited candidates in
+        ascending (entry, id) order plus the entry of the candidate
+        after both.  One slab pass serves TWO probe rounds per
+        iteration — most traces need <= 2 probes (measured mesh70k:
+        ~1.5 probe rounds per trace), so the (B, C) slab recompute
+        runs ~once per trace instead of once per probe.
 
         The entry-distance formula matches ``cluster._rays_vs_boxes``;
         the cursor filter matches the flat wavefront's XLA fallback.
@@ -329,15 +335,20 @@ def _make_select_kernel(C: int):
 
         unvis = (ent > skip_e) | ((ent == skip_e) & (cid > skip_c))
         ent = jnp.where(unvis, ent, jnp.inf)
-        e_cur = jnp.min(ent, axis=1, keepdims=True)       # (8, 1)
+        e_cur = jnp.min(ent, axis=1, keepdims=True)       # (LG, 1)
         c_cur = jnp.min(jnp.where(ent == e_cur, cid, _BIGF), axis=1,
                         keepdims=True)
-        after = (ent > e_cur) | ((ent == e_cur) & (cid > c_cur))
-        e_next = jnp.min(jnp.where(after, ent, jnp.inf), axis=1,
-                         keepdims=True)
+        after1 = (ent > e_cur) | ((ent == e_cur) & (cid > c_cur))
+        ent1 = jnp.where(after1, ent, jnp.inf)
+        e_b = jnp.min(ent1, axis=1, keepdims=True)
+        c_b = jnp.min(jnp.where(ent1 == e_b, cid, _BIGF), axis=1,
+                      keepdims=True)
+        after2 = (ent1 > e_b) | ((ent1 == e_b) & (cid > c_b))
+        e_after = jnp.min(jnp.where(after2, ent1, jnp.inf), axis=1,
+                          keepdims=True)
         out = jnp.concatenate(
-            [e_cur, c_cur, e_next,
-             jnp.zeros((SELECT_GROUP, 5), jnp.float32)], axis=1)
+            [e_cur, c_cur, e_b, c_b, e_after,
+             jnp.zeros((SELECT_GROUP, 3), jnp.float32)], axis=1)
         out_ref[...] = out
 
     return kernel
@@ -364,12 +375,13 @@ def _select_call(aabbs, rays, C):
 
 
 def select_blocks(cs, aabbs, o, d, skip_e, skip_c, C: int):
-    """Lex-min unvisited cluster per lane: the Pallas twin of the flat
-    wavefront's slab + cursor-filter + three (B, C) reductions.
+    """The first TWO lex-min unvisited clusters per lane: the Pallas
+    twin of the flat wavefront's slab + cursor-filter + reductions.
 
-    Returns (e_cur (B,) f32, c_cur (B,) int32, e_next (B,) f32) where
-    e_next is the entry of the next candidate strictly after
-    (e_cur, c_cur) in lex order.
+    Returns (e_cur, c_cur, e_b, c_b, e_after): the next two candidates
+    in ascending (entry, id) order after the cursor and the entry of
+    the candidate after both (for the completion test when both get
+    probed).  Cluster ids are int32 clamped to [0, C).
     """
     B = o.shape[0]
     pad = (-B) % SELECT_GROUP
@@ -380,7 +392,9 @@ def select_blocks(cs, aabbs, o, d, skip_e, skip_c, C: int):
     out = _select_call(aabbs, rays, C)[:B]
     e_cur = out[:, 0]
     c_cur = jnp.minimum(out[:, 1], C - 1).astype(jnp.int32)
-    return e_cur, c_cur, out[:, 2]
+    e_b = out[:, 2]
+    c_b = jnp.minimum(out[:, 3], C - 1).astype(jnp.int32)
+    return e_cur, c_cur, e_b, c_b, out[:, 4]
 
 
 def _probe_body(families, G, cidx_ref, rays_ref, tab_ref):

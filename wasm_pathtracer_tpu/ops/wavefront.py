@@ -19,14 +19,17 @@ lane carries a tiny state machine:
          megakernel when enabled) plus a rays x cluster-AABB slab test
          whose per-cluster entry distances become the lane's carried
          candidate row;
-  PROBE  one cluster per iteration: argmin of the candidate row picks
-         the nearest unvisited cluster (ties to the lowest id — the
-         same (entry, id) order as the lockstep retire loop), its
-         (G, 9) block is gathered and tested densely with the masked
-         type switch (``ops.cluster._block_test``), and the entry is
-         retired to +inf; a lane stops when its nearest remaining entry
-         exceeds its running best — the reference's ``max_dis`` pruning
-         (``scene.rs:262-288``);
+  PROBE  up to two clusters per iteration, in ascending (entry, id)
+         order (ties to the lowest id — the same order as the lockstep
+         retire loop): each candidate's (G, 9) block is gathered and
+         tested densely with the masked type switch
+         (``ops.cluster._block_test``), with the distance bound
+         re-tightened between the two rounds; a lane stops when its
+         nearest remaining entry exceeds its running best — the
+         reference's ``max_dis`` pruning (``scene.rs:262-288``).  Two
+         rounds per slab pass because most traces finish within two
+         probes (measured ~1.5 on mesh70k), so the (B, C) slab —
+         the widest op in the loop — runs ~once per trace;
   SHADE  the estimator step (:func:`ops.integrator._shade_core` — the
          exact code the lockstep drivers run), which may emit a
          deferred NEE shadow query: the lane then traces the shadow
@@ -209,11 +212,15 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         skip_e = jnp.where(scan, -jnp.inf, st["skip_e"])
         skip_c = jnp.where(scan, -1, st["skip_c"])
 
-        # ---- PROBE: lex-min unvisited cluster per lane ------------------
+        # ---- PROBE x2: the two lex-min unvisited clusters per lane -----
         # entries are recomputed every iteration; "visited" is the lex
-        # cursor (skip_e, skip_c) since the visit order is ascending
+        # cursor (skip_e, skip_c) since the visit order is ascending.
+        # One slab pass yields TWO candidates (plus the entry after
+        # both), and both get probed this iteration — most traces need
+        # <= 2 probe rounds, so the (B, C) slab cost runs ~once per
+        # trace instead of once per probe
         if use_pp:
-            e_cur, c_cur, e_nxt = pp.select_blocks(
+            e_cur, c_cur, e_b, c_b, e_aft = pp.select_blocks(
                 cs, aabbs, tr_o, tr_d, skip_e, skip_c, C)
         else:
             ent = cl._rays_vs_boxes(tr_o, tr_d, cs.lo, cs.hi)  # (B, C)
@@ -221,42 +228,65 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             unvisited = (ent > skip_e[:, None]) | \
                 ((ent == skip_e[:, None]) & (cid > skip_c[:, None]))
             ent = jnp.where(unvisited, ent, jnp.inf)
-            e_cur = jnp.min(ent, axis=1)
-            # lex tie-break: among entries equal to e_cur, the lowest id
-            c_cur = jnp.min(jnp.where(ent == e_cur[:, None], cid, C),
-                            axis=1)
-            c_cur = jnp.minimum(c_cur, C - 1)
-            e_nxt = jnp.min(
-                jnp.where((ent > e_cur[:, None]) |
-                          ((ent == e_cur[:, None]) &
-                           (cid > c_cur[:, None])), ent, jnp.inf), axis=1)
+
+            def _lexmin(ent):
+                # lex tie-break: among minimal entries, the lowest id
+                e = jnp.min(ent, axis=1)
+                c = jnp.minimum(
+                    jnp.min(jnp.where(ent == e[:, None], cid, C), axis=1),
+                    C - 1)
+                rest = jnp.where((ent > e[:, None]) |
+                                 ((ent == e[:, None]) & (cid > c[:, None])),
+                                 ent, jnp.inf)
+                return e, c, rest
+
+            e_cur, c_cur, ent1 = _lexmin(ent)
+            e_b, c_b, ent2 = _lexmin(ent1)
+            e_aft = jnp.min(ent2, axis=1)
+
+        def _probe(c_sel, probing, t_best, sid_best, cost):
+            if use_pp:
+                # min + argmin-sid happen inside the kernel — no (B, G)
+                # HBM roundtrip, no XLA post-reduction
+                tloc, sid_loc = pp.probe_blocks_min(cs, table, tr_o,
+                                                    tr_d, c_sel)
+            else:
+                block = jnp.take(cs.blocks, c_sel, axis=0)  # (B, G, 9)
+                btype = jnp.take(cs.btype, c_sel, axis=0)   # (B, G)
+                t_blk = cl._block_test(tr_o, tr_d, block, btype,
+                                       cs.families)
+                jloc = jnp.argmin(t_blk, axis=1).astype(jnp.int32)
+                tloc = jnp.min(t_blk, axis=1)
+                sid_loc = jnp.take(sid_grid, c_sel, axis=0)[
+                    jnp.arange(B), jloc]                    # (B,)
+            better = probing & (tloc < t_best)
+            t_best = jnp.where(better, tloc, t_best)
+            sid_best = jnp.where(better, sid_loc, sid_best)
+            cost = cost + jnp.where(probing, G, 0)
+            return t_best, sid_best, cost
+
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
         probing = live & (e_cur < bound)
         skip_e = jnp.where(probing, e_cur, skip_e)
         skip_c = jnp.where(probing, c_cur, skip_c)
+        t_best, sid_best, cost = _probe(c_cur, probing, t_best,
+                                        sid_best, cost)
 
-        if use_pp:
-            # min + argmin-sid happen inside the kernel — no (B, G)
-            # HBM roundtrip, no XLA post-reduction
-            tloc, sid_loc = pp.probe_blocks_min(cs, table, tr_o, tr_d,
-                                                c_cur)
-        else:
-            block = jnp.take(cs.blocks, c_cur, axis=0)      # (B, G, 9)
-            btype = jnp.take(cs.btype, c_cur, axis=0)       # (B, G)
-            t_blk = cl._block_test(tr_o, tr_d, block, btype, cs.families)
-            jloc = jnp.argmin(t_blk, axis=1).astype(jnp.int32)
-            tloc = jnp.min(t_blk, axis=1)
-            sid_loc = jnp.take(sid_grid, c_cur, axis=0)[
-                jnp.arange(B), jloc]                        # (B,)
-        better = probing & (tloc < t_best)
-        t_best = jnp.where(better, tloc, t_best)
-        sid_best = jnp.where(better, sid_loc, sid_best)
-        cost = cost + jnp.where(probing, G, 0)
+        # second round against the bound tightened by the first —
+        # exactly the lockstep retire loop's pruning sequence
+        bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
+                          t_best)
+        probing2 = probing & (e_b < bound)
+        skip_e = jnp.where(probing2, e_b, skip_e)
+        skip_c = jnp.where(probing2, c_b, skip_c)
+        t_best, sid_best, cost = _probe(c_b, probing2, t_best,
+                                        sid_best, cost)
 
         # ---- completion ------------------------------------------------
         # next candidate strictly after the (possibly advanced) cursor
-        e_next = jnp.where(probing, e_nxt, e_cur)
+        e_next = jnp.where(probing2, e_aft,
+                           jnp.where(probing, e_b, e_cur))
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
         done = live & (e_next >= bound)
