@@ -96,9 +96,33 @@ def test_fits_vmem_gate():
     prep = bvh.attach_clusters(trace.prepare(scene), scene,
                                group=128, min_count=32)
     assert pp.fits_vmem(prep.cluster)
+    assert pp.kernel_ok(prep.cluster)
     prep64 = bvh.attach_clusters(trace.prepare(scene), scene,
                                  group=64, min_count=32)
     assert not pp.fits_vmem(prep64.cluster)   # kernel requires G == 128
+    assert not pp.kernel_ok(prep64.cluster)
+
+
+def test_probe_min_streamed_matches_vmem():
+    """The HBM-streamed probe body (per-lane tile DMA into scratch)
+    must agree exactly with the VMEM-resident body — it is the
+    >131k-primitive path (``kernel_ok`` without ``fits_vmem``)."""
+    scene = _mixed_scene()
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=32)
+    cs = prep.cluster
+    C = cs.blocks.shape[0]
+    n = 101
+    o, d = _rays(n, 5)
+    cidx = (jnp.arange(n, dtype=jnp.int32) * 11) % C
+    with pltpu.force_tpu_interpret_mode():
+        table = pp.pack_table(cs)
+        t_v, sid_v = pp.probe_blocks_min(cs, table, o, d, cidx,
+                                         stream=False)
+        t_s, sid_s = pp.probe_blocks_min(cs, table, o, d, cidx,
+                                         stream=True)
+    np.testing.assert_array_equal(np.asarray(t_v), np.asarray(t_s))
+    np.testing.assert_array_equal(np.asarray(sid_v), np.asarray(sid_s))
 
 
 def test_probe_min_matches_xla_reduction():

@@ -72,9 +72,19 @@ _TORUS_TOL = 1e-4
 
 
 def fits_vmem(cs) -> bool:
-    """Whether the cluster table fits the kernel's VMEM budget."""
+    """Whether the cluster table fits the kernel's VMEM budget (the
+    fast path: the whole table rides VMEM, slices are register moves)."""
     C, G = cs.blocks.shape[0], cs.blocks.shape[1]
     return G == 128 and C * TABLE_ROWS * G * 4 <= VMEM_TABLE_BYTES
+
+
+def kernel_ok(cs) -> bool:
+    """Whether the Pallas probe path applies at all.  Beyond the VMEM
+    budget (~131k primitives at G=128) the table stays in HBM and each
+    grid step DMAs its lanes' (16, 128) tiles into a VMEM scratch —
+    slower than VMEM-resident, far faster than the XLA ``jnp.take``
+    fallback that materializes a (B, G, 9) gather through HBM."""
+    return cs.blocks.shape[1] == 128
 
 
 def pack_table(cs):
@@ -397,16 +407,12 @@ def select_blocks(cs, aabbs, o, d, skip_e, skip_c, C: int):
     return e_cur, c_cur, e_b, c_b, out[:, 4]
 
 
-def _probe_body(families, G, cidx_ref, rays_ref, tab_ref):
-    """Shared probe body: gather per-lane tiles, restack, test.
+def _test_tiles(families, G, rays, tiles):
+    """Restack per-lane tiles into (LG, G) parameter rows and run the
+    masked type-switched test.
 
     Returns (t (LG, G) candidate distances, sid (LG, G) f32 row).
     """
-    rays = rays_ref[0]                                    # (LG, 8)
-    tiles = []
-    for j in range(LANE_GROUP):
-        c = cidx_ref[0, 0, j]
-        tiles.append(tab_ref[pl.ds(c, 1), :, :][0])
     # re-stack: parameter row k for the LG lanes -> (LG, G)
     A = [jnp.concatenate([tl[k:k + 1, :] for tl in tiles], axis=0)
          for k in range(11)]
@@ -418,6 +424,36 @@ def _probe_body(families, G, cidx_ref, rays_ref, tab_ref):
         tf = _TESTS[fam](A, o, d)
         t = jnp.where(btype == jnp.float32(fam), tf, t)
     return t, A[10]
+
+
+def _probe_body(families, G, cidx_ref, rays_ref, tab_ref):
+    """VMEM-resident probe body: per-lane tile slices are VMEM-local
+    register moves (no HBM traffic)."""
+    tiles = []
+    for j in range(LANE_GROUP):
+        c = cidx_ref[0, 0, j]
+        tiles.append(tab_ref[pl.ds(c, 1), :, :][0])
+    return _test_tiles(families, G, rays_ref[0], tiles)
+
+
+def _probe_body_stream(families, G, cidx_ref, rays_ref, tab_ref,
+                       scratch_ref, sem_ref):
+    """HBM-streamed probe body: the table stays in ANY/HBM memory and
+    each lane's (16, G) tile is DMA'd into the VMEM scratch.  All
+    LANE_GROUP copies are started before any is awaited, so the DMA
+    engine pipelines them."""
+    copies = []
+    for j in range(LANE_GROUP):
+        c = cidx_ref[0, 0, j]
+        cp = pltpu.make_async_copy(tab_ref.at[pl.ds(c, 1)],
+                                   scratch_ref.at[pl.ds(j, 1)],
+                                   sem_ref.at[j])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+    tiles = [scratch_ref[j] for j in range(LANE_GROUP)]
+    return _test_tiles(families, G, rays_ref[0], tiles)
 
 
 def _reduce_min_sid(t, sid_row, G):
@@ -444,12 +480,16 @@ def _make_kernel(families, G):
     return kernel
 
 
-def _make_min_kernel(families, G):
-    def kernel(cidx_ref, rays_ref, tab_ref, out_ref):
+def _make_min_kernel(families, G, stream):
+    def kernel(cidx_ref, rays_ref, tab_ref, out_ref, *scr):
         # out_ref: (LG, 8) — col 0 min distance, col 1 shape id (f32,
         # sid of the first minimum slot; -1 padding rides the table).
-        t, sid_row = _probe_body(families, G, cidx_ref, rays_ref,
-                                 tab_ref)
+        if stream:
+            t, sid_row = _probe_body_stream(families, G, cidx_ref,
+                                            rays_ref, tab_ref, *scr)
+        else:
+            t, sid_row = _probe_body(families, G, cidx_ref, rays_ref,
+                                     tab_ref)
         tloc, sidv = _reduce_min_sid(t, sid_row, G)
         out_ref[...] = jnp.concatenate(
             [tloc, sidv, jnp.zeros((LANE_GROUP, 6), jnp.float32)],
@@ -458,15 +498,27 @@ def _make_min_kernel(families, G):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("families", "want_min"))
-def _probe_call(table, rays, cidx, families, want_min=False):
+@functools.partial(jax.jit,
+                   static_argnames=("families", "want_min", "stream"))
+def _probe_call(table, rays, cidx, families, want_min=False,
+                stream=False):
     C, ROWS, G = table.shape
     NG = cidx.shape[0]                                    # B / LG groups
-    kernel = (_make_min_kernel if want_min else _make_kernel)(families, G)
-    out_shape = (jax.ShapeDtypeStruct((NG * LANE_GROUP, 8), jnp.float32)
-                 if want_min else
-                 jax.ShapeDtypeStruct((NG * LANE_GROUP, G), jnp.float32))
-    out_block = (LANE_GROUP, 8) if want_min else (LANE_GROUP, G)
+    if want_min:
+        kernel = _make_min_kernel(families, G, stream)
+        out_shape = jax.ShapeDtypeStruct((NG * LANE_GROUP, 8),
+                                         jnp.float32)
+        out_block = (LANE_GROUP, 8)
+    else:
+        assert not stream, "streaming implemented for the min kernel"
+        kernel = _make_kernel(families, G)
+        out_shape = jax.ShapeDtypeStruct((NG * LANE_GROUP, G),
+                                         jnp.float32)
+        out_block = (LANE_GROUP, G)
+    table_space = pltpu.ANY if stream else pltpu.VMEM
+    scratch_shapes = ([pltpu.VMEM((LANE_GROUP, ROWS, G), jnp.float32),
+                       pltpu.SemaphoreType.DMA((LANE_GROUP,))]
+                      if stream else [])
     return pl.pallas_call(
         kernel,
         grid=(NG,),
@@ -475,12 +527,15 @@ def _probe_call(table, rays, cidx, families, want_min=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, LANE_GROUP, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=table_space)
+            if stream else
             pl.BlockSpec((C, ROWS, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(out_block, lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
     )(cidx, rays, table)
 
 
@@ -514,15 +569,22 @@ def probe_blocks(cs, table, o, d, cidx):
     return t[:B]
 
 
-def probe_blocks_min(cs, table, o, d, cidx):
+def probe_blocks_min(cs, table, o, d, cidx, stream=None):
     """Probe + in-kernel reduction: the Pallas twin of
     ``jnp.take + _block_test + argmin + sid_grid gather`` in one pass.
+
+    ``stream`` selects the HBM-streamed body; default = auto by the
+    table's VMEM budget, so scenes beyond ~131k primitives transparently
+    take the DMA path instead of falling back to XLA.
 
     Returns (t_min (B,) f32, sid (B,) int32) — sid is the shape id at
     the first minimum slot (== the XLA fallback's ``argmin`` pick);
     garbage-but-deterministic (-1 or 0) when t_min is +inf.
     """
+    if stream is None:
+        stream = not fits_vmem(cs)
     B = o.shape[0]
     rays, cidx = _pad_args(cs, o, d, cidx)
-    out = _probe_call(table, rays, cidx, cs.families, want_min=True)[:B]
+    out = _probe_call(table, rays, cidx, cs.families, want_min=True,
+                      stream=stream)[:B]
     return out[:, 0], out[:, 1].astype(jnp.int32)

@@ -136,9 +136,11 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     eps = settings.epsilon
     max_b = jnp.uint32(settings.max_bounces)
 
-    # Pallas select+probe kernels when the table fits VMEM and Pallas is
-    # allowed (prep.use_fused is the session's forward-fast-path switch)
-    use_pp = prep.use_fused and pp.fits_vmem(cs)
+    # Pallas select+probe kernels whenever Pallas is allowed
+    # (prep.use_fused is the session's forward-fast-path switch):
+    # VMEM-resident table when it fits the budget (~131k primitives at
+    # G=128), HBM-streamed per-lane tile DMA beyond it
+    use_pp = prep.use_fused and pp.kernel_ok(cs)
     table = pp.pack_table(cs) if use_pp else None
     aabbs = pp.pack_aabbs(cs) if use_pp else None
 
