@@ -15,6 +15,9 @@ path, ``src/tracer.rs:99-123``), including all bounce and shadow rays.
     + Pallas cluster kernels.
   - ``cloud100k_paths_per_sec``: the 100k-triangle procedural cloud
     (``index.ts:224-226``), same path.
+  - ``cloud300k_paths_per_sec``: a 300k-triangle cloud — past the
+    probe kernel's VMEM table budget, so it exercises the HBM-streamed
+    tile-DMA body (the x8-scale high-poly workload class).
   - ``backward_grad_rays_per_sec``: value_and_grad of the scan-form
     integrator on the museum w.r.t. materials + camera (BASELINE.md:
     "backward grad rays/sec measured alongside forward"): 262,144
@@ -112,18 +115,23 @@ def _sol_model_flat(scene, prep, B, iters_per_sec):
     lane width B regardless of per-lane state,
 
       - one dense trace over the NON-clustered primitives (SCAN);
-      - one select pass: B x C cluster-AABB slab tests
-        (``probe_pallas.select_blocks`` / ``cluster._rays_vs_boxes``);
-      - one probe pass: B x G primitive tests of the picked cluster
-        (``probe_pallas.probe_blocks``);
+      - one select pass: B x C cluster-AABB slab tests producing TWO
+        candidates (``probe_pallas.select_blocks`` /
+        ``cluster._rays_vs_boxes``);
+      - TWO probe passes: B x G primitive tests of each candidate
+        (``probe_pallas.probe_blocks_min``);
       - one ``_shade_core`` evaluation (cheap relative, modeled as a
         constant per lane).
 
-    So hardware flops/s = B * iters/s * (F_dense + C*F_slab + G*F_probe
-    + F_shade), and SOL% is that against the VPU peak.  This counts the
-    work the machine actually executes (dead/masked lanes still burn
-    VPU cycles) — the model therefore measures KERNEL efficiency; lane
-    OCCUPANCY losses show up separately as paths/s vs iters/s.
+    So hardware flops/s = B * iters/s * (F_dense + C*F_slab +
+    2*G*F_probe + F_shade), and SOL% is that against the VPU peak.
+    This counts the work the machine actually executes (dead/masked
+    lanes still burn VPU cycles) — the model therefore measures KERNEL
+    efficiency; lane OCCUPANCY losses show up separately as paths/s vs
+    iters/s.  Known non-flop time the model EXCLUDES (so the reported
+    fraction is an underestimate of machine busyness): the two
+    packed-row gathers per iteration (~0.2-0.4 ms each per gather OP
+    at 32k lanes, measured v5e) and the loop's state bookkeeping.
     """
     cs = prep.cluster
     C, G = cs.blocks.shape[0], cs.blocks.shape[1]
@@ -136,7 +144,8 @@ def _sol_model_flat(scene, prep, B, iters_per_sec):
     # slots still execute the type-switch; count them as the cheapest)
     btype = np.asarray(cs.btype).reshape(-1)
     f_probe = float(np.mean([_PRIM_FLOPS.get(int(t), 14.0) for t in btype])) * G
-    per_iter = B * (f_dense + C * _SLAB_FLOPS + f_probe + _SHADE_FLOPS)
+    per_iter = B * (f_dense + C * _SLAB_FLOPS + 2.0 * f_probe
+                    + _SHADE_FLOPS)
     return 100.0 * iters_per_sec * per_iter / _VPU_PEAK
 
 
@@ -186,6 +195,19 @@ def main():
     extras["cloud100k_paths_per_sec"] = round(pps, 1)
     extras["cloud100k_sol_pct"] = round(
         _sol_model_flat(cloud, prep_c, 32_768, ips), 2)
+
+    # -- 3b. 300k-triangle cloud: beyond the VMEM table budget, the
+    # probe kernel streams per-lane tiles from HBM (the x8-scale
+    # high-poly workload slot, ``index.ts:213-222``) ------------------
+    big = scenes.cloud(300_000)
+    prep_big = bvh.attach_clusters(trace.prepare(big, use_fused=on_tpu),
+                                   big)
+    pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_big, big,
+                               settings, initial_camera(5), 512, 512,
+                               S=262_144, B=32_768, want_iters=True)
+    extras["cloud300k_paths_per_sec"] = round(pps, 1)
+    extras["cloud300k_sol_pct"] = round(
+        _sol_model_flat(big, prep_big, 32_768, ips), 2)
 
     # -- 4. backward: grads of the scan-form museum render --------------
     # (XLA dense path: Pallas is forward-only; bounce-checkpointed scan.)
