@@ -271,6 +271,118 @@ def test_light_vertex_gradient_with_occluder_matches_fd():
     assert 0.5 < ana.mean() / fd.mean() < 2.0, (ana.mean(), fd.mean())
 
 
+def _occluder_grad_vs_fd(scene, n_seeds=24, h=0.05):
+    """Shared harness for the occluder-family warp tests: edge-aware
+    analytic gradient of mean radiance w.r.t. a vertical light lift,
+    vs converged plain-forward central FD over common seeds."""
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.55, 0.0)
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+                        rr_clamp_min=0.9, rr_clamp_max=0.9,
+                        early_exit=False, edge_aware_nee=True)
+    st_plain = st.replace(edge_aware_nee=False)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    rows0 = scene.params[scene.light_shape]
+    direction = jnp.zeros_like(rows0).at[:, 1::3].set(1.0)
+
+    @jax.jit
+    def loss_plain(light_rows, seed):
+        sc = scene.with_light_rows(light_rows)
+        col, _ = integrator.render_pixels(prep, sc, st_plain, cam,
+                                          pix % W, pix // W, W, H, seed)
+        return jnp.mean(col)
+
+    @jax.jit
+    def g_edge(light_rows, seed):
+        def f(rows):
+            sc = scene.with_light_rows(rows)
+            col, _ = integrator.render_pixels(prep, sc, st, cam, pix % W,
+                                              pix // W, W, H, seed)
+            return jnp.mean(col)
+        return jnp.sum(jax.grad(f)(light_rows) * direction)
+
+    fd, ana = [], []
+    for s in range(n_seeds):
+        sd = jnp.uint32(11 + 97 * s)
+        fd.append((float(loss_plain(rows0 + h * direction, sd))
+                   - float(loss_plain(rows0 - h * direction, sd))) / (2 * h))
+        ana.append(float(g_edge(rows0, sd)))
+    return np.array(ana), np.array(fd)
+
+
+def test_light_vertex_gradient_with_torus_occluder_matches_fd():
+    """The FLAGSHIP occluder family: the museum scene's only occluders
+    are tori (27 of them under 108 area lights,
+    ``src/scenes.rs:15-52``), so the NEE warp must carry
+    shadow-boundary flux for torus silhouettes — round 3 skipped the
+    family entirely, leaving interior-only light-geometry gradients
+    exactly where the flagship workload lives.  The torus clearance is
+    the signed minimum of its SDF along the shadow segment
+    (``edges._torus_segment_clearance``); the contract is the same
+    magnitude bound the sphere version passes."""
+    b = scenes.SceneBuilder(background=(0.1, 0.1, 0.1))
+    b.add_plane((0.0, -1.0, 0.0), (0.0, 1.0, 0.0),
+                scenes.Material.diffuse(0.8, 0.8, 0.8))
+    b.add_torus((0.0, 0.0, 5.0), 0.8, 0.35,
+                scenes.Material.diffuse(0.8, 0.2, 0.2))
+    light = scenes.Material.emissive(8.0, 8.0, 8.0)
+    b.add_triangle((1.0, 4.0, 6.0), (1.0, 4.0, 4.0), (-1.0, 4.0, 4.0), light)
+    b.add_triangle((-1.0, 4.0, 6.0), (1.0, 4.0, 6.0), (-1.0, 4.0, 4.0), light)
+    ana, fd = _occluder_grad_vs_fd(b.build())
+    sem = fd.std() / np.sqrt(len(fd)) + ana.std() / np.sqrt(len(ana))
+    assert np.isfinite(ana).all()
+    assert np.sign(ana.mean()) == np.sign(fd.mean()), (ana.mean(), fd.mean())
+    assert abs(ana.mean() - fd.mean()) <= \
+        0.20 * abs(fd.mean()) + 2.5 * sem, \
+        (ana.mean(), fd.mean(), sem)
+    assert 0.5 < ana.mean() / fd.mean() < 2.0, (ana.mean(), fd.mean())
+
+
+def test_light_vertex_gradient_with_aarect_occluder_improves_on_plain():
+    """AARect occluders also get warp clearance now (12 box edges,
+    ``edges._box_edges``).  Bound is looser than the torus/sphere
+    contracts — a box's shadow boundary is piecewise straight and the
+    small image sees few boundary pixels — but the edge-aware gradient
+    must be finite, sign-correct, and strictly closer to converged FD
+    than the interior-only gradient."""
+    b = scenes.SceneBuilder(background=(0.1, 0.1, 0.1))
+    b.add_plane((0.0, -1.0, 0.0), (0.0, 1.0, 0.0),
+                scenes.Material.diffuse(0.8, 0.8, 0.8))
+    b.add_aarect(-0.8, 0.8, -0.4, 0.4, 4.7, 5.3,
+                 scenes.Material.diffuse(0.8, 0.2, 0.2))
+    light = scenes.Material.emissive(8.0, 8.0, 8.0)
+    b.add_triangle((1.0, 4.0, 6.0), (1.0, 4.0, 4.0), (-1.0, 4.0, 4.0), light)
+    b.add_triangle((-1.0, 4.0, 6.0), (1.0, 4.0, 6.0), (-1.0, 4.0, 4.0), light)
+    scene = b.build()
+    ana, fd = _occluder_grad_vs_fd(scene)
+    # interior-only gradients for the same seeds, via the shared
+    # harness with the warp off on the ANALYTIC side: rebuild by hand
+    prep = trace.prepare(scene)
+    cam = Camera.create((0.0, 1.5, -2.0), 0.55, 0.0)
+    st_plain = RenderSettings(render_type=RenderType.NORMAL_NEE,
+                              max_bounces=4, rr_clamp_min=0.9,
+                              rr_clamp_max=0.9, early_exit=False)
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    rows0 = scene.params[scene.light_shape]
+    direction = jnp.zeros_like(rows0).at[:, 1::3].set(1.0)
+
+    @jax.jit
+    def g_plain(light_rows, seed):
+        def f(rows):
+            sc = scene.with_light_rows(rows)
+            col, _ = integrator.render_pixels(prep, sc, st_plain, cam,
+                                              pix % W, pix // W, W, H, seed)
+            return jnp.mean(col)
+        return jnp.sum(jax.grad(f)(light_rows) * direction)
+
+    plain = np.array([float(g_plain(rows0, jnp.uint32(11 + 97 * s)))
+                      for s in range(24)])
+    assert np.isfinite(ana).all()
+    assert np.sign(ana.mean()) == np.sign(fd.mean()), (ana.mean(), fd.mean())
+    assert abs(ana.mean() - fd.mean()) < abs(plain.mean() - fd.mean()), \
+        (ana.mean(), plain.mean(), fd.mean())
+
+
 def _pnee_setup():
     from wasm_pathtracer_tpu.ops import photon
     scene = scenes.sphere_plane()
@@ -344,28 +456,145 @@ def test_pnee_light_vertex_gradient_matches_fd():
 
 
 def test_train_step_recovers_light_height():
-    """Inverse rendering with light-geometry leaves: gradient descent
-    moves a mis-placed area light toward the target height."""
-    from wasm_pathtracer_tpu.parallel import make_ray_mesh, make_train_step
-    scene, cam = _light_scene()
+    """Inverse rendering with light-geometry leaves: stochastic descent
+    on a mis-placed area light RECOVERS the target height (BASELINE
+    config 4's flagship contract — |h - h_true| < 0.1, not merely
+    monotone progress).
+
+    Recipe (each piece is load-bearing, tuned by measuring the loss
+    landscape on this scene):
+    - geometry-only leaves: materials/camera frozen (the emission x
+      1/d^2 ambiguity, see make_train_step's docstring), and the
+      optimizer masked to the y-coordinates — the height workload's
+      descent direction is the shared vertical lift; letting x/z
+      noise-walk only corrupts the target match;
+    - light close to the receiver (d ~ 3.5): brightness sensitivity
+      d(loss)/dh scales as 1/d, and at the original d ~ 5 the
+      curvature near the optimum is too shallow to localize the
+      minimum to 0.1 against MC gradient noise in reasonable steps;
+    - direct lighting only (max_bounces=2): the height signal lives
+      in the NEE term; indirect bounces only add variance;
+    - a converged target (spp=32): the fixed target's own MC noise
+      displaces the empirical minimizer by ~sigma_t / |dE/dh|;
+    - Polyak-Ruppert tail averaging: with constant-lr SGD the iterate
+      is an Ornstein-Uhlenbeck walk around the minimizer; the tail
+      mean is the standard stochastic-approximation estimator and
+      converges ~3x tighter than the last iterate.
+    """
+    import optax
+    from wasm_pathtracer_tpu.parallel import (make_ray_mesh,
+                                              make_train_step,
+                                              render_image_sharded)
+    b = scenes.SceneBuilder(background=(0.1, 0.1, 0.1))
+    b.add_plane((0.0, -1.0, 0.0), (0.0, 1.0, 0.0),
+                scenes.Material.diffuse(0.8, 0.8, 0.8))
+    light = scenes.Material.emissive(8.0, 8.0, 8.0)
+    b.add_triangle((1.0, 2.5, 6.0), (1.0, 2.5, 4.0), (-1.0, 2.5, 4.0), light)
+    b.add_triangle((-1.0, 2.5, 6.0), (1.0, 2.5, 6.0), (-1.0, 2.5, 4.0), light)
+    scene = b.build()
+    cam = Camera.create((0.0, 1.5, -2.0), 0.6, 0.0)
     prep = trace.prepare(scene)
-    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=4,
+    st = RenderSettings(render_type=RenderType.NORMAL_NEE, max_bounces=2,
                         rr_clamp_min=0.9, rr_clamp_max=0.9,
                         early_exit=False)
     mesh = make_ray_mesh(jax.devices()[:1])
-    from wasm_pathtracer_tpu.parallel import render_image_sharded
     target = render_image_sharded(mesh, prep, scene, st, cam, W, H,
-                                  jnp.uint32(77), spp=4)
+                                  jnp.uint32(77), spp=32)
     # perturb the light: lift it by +0.6
     rows0 = scene.params[scene.light_shape]
     wrong = scene.with_light_rows(rows0.at[:, 1::3].add(0.6))
-    step = make_train_step(mesh, prep, st, W, H, lr=2.0, spp=2,
-                           train_lights=True)
+    ymask = jnp.zeros_like(rows0).at[:, 1::3].set(1.0)
+    sgd = optax.sgd(4.0)
+    opt = optax.GradientTransformation(
+        sgd.init,
+        lambda g, s, p=None: ((lambda u, s2:
+            ({"light_rows": u["light_rows"] * ymask}, s2))
+            (*sgd.update(g, s, p))))
+    step = make_train_step(mesh, prep, st, W, H, spp=4,
+                           train_lights=True, train_materials=False,
+                           train_camera=False, optimizer=opt)
     cur = wrong
     h0 = float(cur.params[scene.light_shape][:, 1].mean())
-    for i in range(8):
-        loss, cur, cam2 = step(cur, cam, target, jnp.uint32(400 + i))
-    h1 = float(cur.params[scene.light_shape][:, 1].mean())
     h_true = float(rows0[:, 1].mean())
+    opt_state = step.init(cur, cam)
+    hs = []
+    for i in range(320):
+        loss, cur, _, opt_state = step(cur, cam, target,
+                                       jnp.uint32(400 + i), opt_state)
+        hs.append(float(cur.params[scene.light_shape][:, 1].mean()))
+    h1 = float(np.mean(hs[-260:]))          # Polyak tail average
     assert np.isfinite(float(loss))
     assert abs(h1 - h_true) < abs(h0 - h_true), (h0, h1, h_true)
+    assert abs(h1 - h_true) < 0.1, (h0, h1, h_true)
+
+
+def test_train_step_camera_pose_needs_screen_warp():
+    """Pose-from-image NEEDS the screen-space silhouette warp
+    (``make_train_step(edge_aware_screen=True)``): a uniform EMISSIVE
+    sphere on a black background is piecewise constant in the camera —
+    interior-term gradients are exactly zero (diffuse/emissive
+    radiance is view-independent; only WHICH pixels cover the sphere
+    changes), so plain descent provably stalls while the warped loss
+    recovers the camera pitch from the silhouette flux alone.
+
+    The optimizer is masked to ``rot_x``: pitching up and translating
+    down move the silhouette near-identically at this distance, so the
+    full 5-DoF pose is ambiguous from one view — masking makes the
+    contract crisp.  Recovery is asserted to SUB-PIXEL accuracy: one
+    pixel at 16x16 is ~0.07 rad of pitch (2*atan(0.5/screen_z)/H), and
+    the warp's boundary flux is smoothed over aux_radius ~ 1.25 px, so
+    ~half a pixel is the information limit of this target."""
+    import optax
+    from wasm_pathtracer_tpu.parallel import (make_ray_mesh,
+                                              make_train_step,
+                                              render_image_sharded)
+    b = scenes.SceneBuilder(background=(0.0, 0.0, 0.0))
+    b.add_sphere((0.0, 0.0, 5.0), 1.0,
+                 scenes.Material.emissive(1.0, 1.0, 1.0))
+    scene = b.build()
+    prep = trace.prepare(scene)
+    st = RenderSettings(render_type=RenderType.NO_NEE, max_bounces=2,
+                        early_exit=False)
+    mesh = make_ray_mesh(jax.devices()[:1])
+    rot_true = 0.12
+    cam_true = Camera.create((0.0, 0.0, 0.0), rot_true, 0.0)
+    target = render_image_sharded(mesh, prep, scene, st, cam_true, W, H,
+                                  jnp.uint32(5), spp=2)
+    cam0 = Camera.create((0.0, 0.0, 0.0), 0.0, 0.0)
+
+    def masked_rotx(inner):
+        def update(g, s, p=None):
+            u, s2 = inner.update(g, s, p)
+            cam_u = u["camera"]
+            u = dict(u)
+            u["camera"] = Camera(location=jnp.zeros_like(cam_u.location),
+                                 rot_x=cam_u.rot_x,
+                                 rot_y=jnp.zeros_like(cam_u.rot_y))
+            return u, s2
+        return optax.GradientTransformation(inner.init, update)
+
+    def run(edge_aware):
+        step = make_train_step(mesh, prep, st, W, H, spp=1,
+                               train_materials=False, train_camera=True,
+                               optimizer=masked_rotx(optax.sgd(0.08)),
+                               edge_aware_screen=edge_aware)
+        cam = cam0
+        opt_state = step.init(scene, cam)
+        losses = []
+        for i in range(60):
+            loss, _, cam, opt_state = step(scene, cam, target,
+                                           jnp.uint32(50 + i), opt_state)
+            losses.append(float(loss))
+        return cam, losses
+
+    cam_w, loss_w = run(True)
+    cam_p, loss_p = run(False)
+    # plain: interior gradient is identically zero -> the camera never
+    # moves and the loss never changes
+    assert abs(float(cam_p.rot_x) - 0.0) < 1e-6, float(cam_p.rot_x)
+    assert abs(loss_p[-1] - loss_p[0]) < 1e-6 * max(abs(loss_p[0]), 1e-9)
+    # warped: silhouette flux recovers the pitch to sub-pixel accuracy
+    # and drives the loss well below the stalled plain value
+    assert np.isfinite(loss_w).all()
+    assert abs(float(cam_w.rot_x) - rot_true) < 0.05, float(cam_w.rot_x)
+    assert loss_w[-1] < 0.5 * loss_w[0], (loss_w[0], loss_w[-1])

@@ -41,9 +41,13 @@ Two warps:
   is the motion, in uniform space, of the point where the ray from the
   shading point through the occluder's silhouette pierces the (moving)
   light plane.  Silhouette proximity and nearest-silhouette points are
-  computed per occluder family (spheres exactly from the
-  closest-approach geometry — from BOTH sides of the boundary — and
-  triangles from their edges).
+  computed per occluder family: spheres exactly from the
+  closest-approach geometry — from BOTH sides of the boundary — tori
+  from the signed minimum of their SDF along the segment (the museum
+  flagship's occluders are all tori, ``src/scenes.rs:15-52``),
+  triangles from their edges, and aarect boxes / squares from their
+  outline edges.  Only infinite planes have no silhouette term (no
+  outline exists).
 
 Both warps are value-preserving: forward radiance is unchanged
 (bit-identical modulo float reassociation); only gradients change.
@@ -72,7 +76,6 @@ from wasm_pathtracer_tpu.utils import vecmath as vm
 sg = jax.lax.stop_gradient
 
 _B_MISS = 1.0        # boundary test for rays that hit nothing
-_B_FLAT = 0.35       # fallback for families without a proximity formula
 _B_EPS = 1e-3        # weight regularizer: w = kernel / (B^2 + eps)
 _T_FAR = 1e3         # attachment distance for miss "hits"
 
@@ -184,9 +187,10 @@ def _boundary_test(scene0, sid, x0, d0, n0):
 
     Curved families (sphere/torus) and the plane horizon: |n.d|.
     Triangles: min barycentric edge distance (every edge of a loose
-    triangle is an outline).  AARect/square: no formula — a constant
-    mid-range value (their silhouettes get generic smoothing, not
-    boundary-matched velocities).  Misses: far from any boundary.
+    triangle is an outline).  AARect boxes / squares: distance from
+    the hit point to the nearest outline edge, normalized by the
+    primitive's own extent (their screen silhouettes are their
+    edges).  Misses: far from any boundary.
     """
     sidc = jnp.maximum(sid, 0)
     pt = scene0.ptype[sidc]
@@ -195,10 +199,26 @@ def _boundary_test(scene0, sid, x0, d0, n0):
     b0, b1, b2 = _barycentric(x0, rows0[:, 0:3], rows0[:, 3:6],
                               rows0[:, 6:9])
     b_tri = jnp.clip(jnp.minimum(jnp.minimum(b0, b1), b2), 0.0, 1.0)
+    # aarect: distance to the nearest of the three slab boundaries,
+    # per axis min(|x - bmin|, |bmax - x|), normalized by the box's
+    # max extent (the hit lies ON one face, so that axis contributes
+    # ~0 only at an edge of the box where a second axis is also at
+    # its boundary — take the SECOND-smallest axis distance)
+    bmin, bmax = rows0[:, 0:3], rows0[:, 3:6]
+    dax = jnp.minimum(jnp.abs(x0 - bmin), jnp.abs(bmax - x0))  # (N,3)
+    ext = jnp.max(jnp.maximum(bmax - bmin, 1e-6), axis=-1)
+    d_sorted = jnp.sort(dax, axis=-1)
+    b_rect = jnp.clip(d_sorted[..., 1] / ext, 0.0, 1.0)
+    # square: chebyshev distance from the outline in the y-plane
+    half = jnp.maximum(0.5 * rows0[:, 3], 1e-6)
+    dxz = jnp.abs(x0[..., ::2] - rows0[:, 0:3][..., ::2])       # (N,2) |dx|,|dz|
+    b_sq = jnp.clip((half - jnp.max(dxz, axis=-1)) / half, 0.0, 1.0)
     curved = (pt == int(PrimType.SPHERE)) | (pt == int(PrimType.TORUS)) \
         | (pt == int(PrimType.PLANE))
     B = jnp.where(curved, b_curved,
-                  jnp.where(pt == int(PrimType.TRIANGLE), b_tri, _B_FLAT))
+                  jnp.where(pt == int(PrimType.TRIANGLE), b_tri,
+                            jnp.where(pt == int(PrimType.AARECT), b_rect,
+                                      b_sq)))
     return jnp.where(sid < 0, _B_MISS, B)
 
 
@@ -316,17 +336,142 @@ def render_pixels_edgeaware(prep, scene, settings, camera: Camera,
 # NEE shadow-visibility warp (light-sample uniform space)
 # ---------------------------------------------------------------------------
 
+def _torus_sdf_grad(p, big_r, small_r):
+    """Analytic gradient of :func:`isx._torus_sdf` (flat-lying torus,
+    local coordinates).  Unit-length wherever the SDF is smooth."""
+    rho = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 2] ** 2, 1e-24))
+    qx = rho - big_r
+    L = jnp.sqrt(jnp.maximum(qx * qx + p[..., 1] ** 2, 1e-24))
+    gx = (qx / L) * (p[..., 0] / rho)
+    gy = p[..., 1] / L
+    gz = (qx / L) * (p[..., 2] / rho)
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def _ray_edges_clearance(x0, nu, seg_len, a, b):
+    """Closest approach of the segments ``x0 + s*nu, s in (0, seg_len)``
+    to a set of EDGE segments ``a[e] .. b[e]``.
+
+    Returns (B (R,E) angular clearance dist/s, z (R,E,3) closest edge
+    points).  Shared by triangle edges and the rectangle outlines of
+    aarect boxes and squares — in all three families every edge is a
+    potential shadow silhouette.
+    """
+    e = b - a                                          # (E,3)
+    w0 = a[None, :, :] - x0[:, None, :]                # (R,E,3)
+    nu_e = nu[:, None, :]
+    d_ee = jnp.sum(e * e, -1)[None]                    # (1,E)
+    d_en = jnp.sum(e[None] * nu_e, -1)                 # (R,E)
+    d_w0e = jnp.sum(w0 * e[None], -1)
+    d_w0n = jnp.sum(w0 * nu_e, -1)
+    den = d_ee - d_en * d_en                           # (R,E)
+    den_s = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    tc = jnp.clip((d_en * d_w0n - d_w0e * 1.0) / -den_s, 0.0, 1.0)
+    # ^ parameter on the edge of the closest point to the ray line:
+    #   minimize |w0 + tc*e - s*nu|^2 over (tc, s)
+    s_c = d_w0n + tc * d_en                            # (R,E)
+    s_c = jnp.clip(s_c, 1e-4, seg_len[:, None])
+    ze = a[None] + tc[..., None] * e[None]             # (R,E,3)
+    diff = ze - (x0[:, None, :] + s_c[..., None] * nu_e)
+    dist = jnp.sqrt(jnp.maximum(vm.length_sq(diff), 1e-20))
+    return dist / s_c, ze
+
+
+def _fold_min(best_B, best_z, Bs, zs):
+    """Fold a per-family (R, N) candidate set into the running
+    (best_B (R,), best_z (R,3)) minimum."""
+    j = jnp.argmin(Bs, axis=1)
+    Bmin = jnp.take_along_axis(Bs, j[:, None], 1)[:, 0]
+    zmin = jnp.take_along_axis(zs, j[:, None, None], 1)[:, 0]
+    better = Bmin < best_B
+    return (jnp.where(better, Bmin, best_B),
+            jnp.where(better[:, None], zmin, best_z))
+
+
+_TORUS_COARSE = 16    # coarse samples along the segment
+_TORUS_REFINE = 8     # samples per refinement pass (x2 passes)
+_TORUS_NEWTON = 2     # Newton polishes of d/ds sdf = 0
+
+
+def _torus_segment_clearance(x0, nu, seg_len, c, big_r, small_r):
+    """Min |sdf| of the segment against each torus, via coarse-to-fine
+    1-D search on ``f(s) = sdf(x0 + s*nu - c)`` plus Newton polish of
+    ``f'(s) = grad_sdf . nu = 0``.
+
+    The signed minimum is the exact analog of the sphere's
+    ``dist - r``: positive clearance when the segment passes outside,
+    negative penetration depth when it is blocked, 0 at grazing — so
+    ``B = |min_s sdf| / s*`` vanishes at the silhouette from BOTH
+    sides.  The nearest silhouette point is the SDF-projection of the
+    argmin point onto the torus surface, ``q - sdf(q)*grad(q)`` (same
+    machinery as :func:`ops.probe_pallas` uses for hit polish).  All
+    of this runs on the theta-DETACHED scene (the search needs no
+    theta-derivatives; u-derivatives flow through the sample
+    positions).
+    """
+    from wasm_pathtracer_tpu.ops.intersect import _torus_sdf
+
+    p0 = x0[:, None, :] - c[None]                       # (R,T,3)
+    nu_t = nu[:, None, :]                               # (R,1,3)
+    Rb, rb = big_r[None], small_r[None]                 # (1,T)
+
+    def f(s):                                           # (R,T,S) sdf
+        return _torus_sdf(p0[..., None, :] + s[..., None] * nu_t[..., None, :],
+                          Rb[..., None], rb[..., None])
+
+    lo = jnp.full_like(seg_len[:, None] * Rb, 1e-4)     # (R,T)
+    hi = seg_len[:, None] * jnp.ones_like(Rb)
+    frac = (jnp.arange(_TORUS_COARSE, dtype=jnp.float32) + 0.5) / _TORUS_COARSE
+    s = lo[..., None] + (hi - lo)[..., None] * frac      # (R,T,S)
+    v = f(s)
+    j = jnp.argmin(v, axis=-1)[..., None]
+    s_best = jnp.take_along_axis(s, j, -1)[..., 0]       # (R,T)
+    w = (hi - lo) / _TORUS_COARSE
+    for _ in range(2):                                   # two refinement passes
+        frac = (jnp.arange(_TORUS_REFINE, dtype=jnp.float32) + 0.5) / _TORUS_REFINE
+        s = jnp.clip(s_best[..., None] + w[..., None] * (2.0 * frac - 1.0),
+                     lo[..., None], hi[..., None])
+        v = f(s)
+        j = jnp.argmin(v, axis=-1)[..., None]
+        s_best = jnp.take_along_axis(s, j, -1)[..., 0]
+        w = w * (2.0 / _TORUS_REFINE)
+
+    # Newton polish of f'(s) = 0 with analytic f' and finite-diff f''
+    h = jnp.maximum(1e-3 * (hi - lo), 1e-5)
+    for _ in range(_TORUS_NEWTON):
+        p = p0 + s_best[..., None] * nu_t
+        g = jnp.sum(_torus_sdf_grad(p, Rb, rb) * nu_t, -1)      # f'(s)
+        p_h = p0 + (s_best + h)[..., None] * nu_t
+        g_h = jnp.sum(_torus_sdf_grad(p_h, Rb, rb) * nu_t, -1)
+        curv = (g_h - g) / h
+        curv = jnp.where(jnp.abs(curv) < 1e-6, 1e-6, curv)
+        step = jnp.clip(-g / curv, -w, w)
+        s_best = jnp.clip(s_best + step, lo, hi)
+
+    p = p0 + s_best[..., None] * nu_t
+    sdf = _torus_sdf(p, Rb, rb)                          # (R,T) signed
+    grad = _torus_sdf_grad(p, Rb, rb)
+    z = x0[:, None, :] + s_best[..., None] * nu_t - sdf[..., None] * grad
+    B = jnp.abs(sdf) / s_best
+    return B, z
+
+
 def _segment_clearance(prep, scene0, light_sid, x0, nu, seg_len):
     """Angular clearance of the segment ``x0 + s*nu, s in (0, seg_len)``
     against every finite occluder, plus the nearest silhouette point.
 
     Returns (B (R,), z (R,3)): B -> 0 when the segment grazes an
-    occluder silhouette (valid from BOTH sides for spheres — the
-    closest-approach distance |dist - r| vanishes at grazing whether
-    the segment passes or is blocked), z the nearest silhouette point
-    on the critical occluder.  Triangle occluders use their edges.
-    Families without a formula are skipped (their shadows fall back to
-    interior-only gradients).
+    occluder silhouette (valid from BOTH sides — the closest-approach
+    distance |dist - r| for spheres and the signed-minimum |sdf| for
+    tori vanish at grazing whether the segment passes or is blocked),
+    z the nearest silhouette point on the critical occluder.  Triangle
+    occluders use their edges; aarect boxes their 12 box edges;
+    squares their 4 outline edges; tori the SDF minimum along the
+    segment (the museum's only occluders are tori,
+    ``src/scenes.rs:15-52`` — this family is the flagship case).
+    Planes are the one family without silhouette clearance (an
+    infinite plane has no outline; its shadows have no boundary to
+    warp).
     """
     R = x0.shape[0]
     best_B = jnp.full((R,), 1e9, jnp.float32)
@@ -345,42 +490,24 @@ def _segment_clearance(prep, scene0, light_sid, x0, nu, seg_len):
         dist = jnp.sqrt(jnp.maximum(vm.length_sq(dq), 1e-20))
         Bs = jnp.abs(dist - r[None, :]) / s_star           # (R,S)
         zs = c[None] + (r[None, :] / dist)[..., None] * dq  # (R,S,3)
-        j = jnp.argmin(Bs, axis=1)
-        Bmin = jnp.take_along_axis(Bs, j[:, None], 1)[:, 0]
-        zmin = jnp.take_along_axis(zs, j[:, None, None], 1)[:, 0]
-        better = Bmin < best_B
-        best_B = jnp.where(better, Bmin, best_B)
-        best_z = jnp.where(better[:, None], zmin, best_z)
+        best_B, best_z = _fold_min(best_B, best_z, Bs, zs)
+
+    # --- tori (SDF minimum along the segment) ----------------------------
+    if prep.idx_torus.shape[0]:
+        rows = scene0.params[prep.idx_torus]
+        Bt, zt = _torus_segment_clearance(x0, nu, seg_len, rows[:, 0:3],
+                                          rows[:, 3], rows[:, 4])
+        best_B, best_z = _fold_min(best_B, best_z, Bt, zt)
 
     # --- triangles (edges) -------------------------------------------------
     if prep.idx_triangle.shape[0]:
         ids = prep.idx_triangle
         rows = scene0.params[ids]                          # (T,9)
         verts = rows.reshape(-1, 3, 3)                     # (T,3,3)
-        a = verts                                          # edge starts
-        b = jnp.roll(verts, -1, axis=1)                    # edge ends
-        a = a.reshape(-1, 3)                               # (3T,3)
-        b = b.reshape(-1, 3)
+        a = verts.reshape(-1, 3)                           # edge starts (3T,3)
+        b = jnp.roll(verts, -1, axis=1).reshape(-1, 3)     # edge ends
         eid_sid = jnp.repeat(ids, 3)                       # (3T,)
-        # closest points between the ray (x0, nu) and each edge segment
-        e = b - a                                          # (E,3)
-        w0 = a[None, :, :] - x0[:, None, :]                # (R,E,3)
-        nu_e = nu[:, None, :]
-        d_ee = jnp.sum(e * e, -1)[None]                    # (1,E)
-        d_en = jnp.sum(e[None] * nu_e, -1)                 # (R,E)
-        d_w0e = jnp.sum(w0 * e[None], -1)
-        d_w0n = jnp.sum(w0 * nu_e, -1)
-        den = d_ee - d_en * d_en                           # (R,E)
-        den_s = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-        tc = jnp.clip((d_en * d_w0n - d_w0e * 1.0) / -den_s, 0.0, 1.0)
-        # ^ parameter on the edge of the closest point to the ray line:
-        #   minimize |w0 + tc*e - s*nu|^2 over (tc, s)
-        s_c = d_w0n + tc * d_en                            # (R,E)
-        s_c = jnp.clip(s_c, 1e-4, seg_len[:, None])
-        ze = a[None] + tc[..., None] * e[None]             # (R,E,3)
-        diff = ze - (x0[:, None, :] + s_c[..., None] * nu_e)
-        dist = jnp.sqrt(jnp.maximum(vm.length_sq(diff), 1e-20))
-        Bt = dist / s_c                                    # (R,E)
+        Bt, ze = _ray_edges_clearance(x0, nu, seg_len, a, b)
         # area-light triangles are not warp occluders: the sampled
         # light itself is transparent to its own shadow rays, and a
         # COPLANAR sibling triangle (quad lights are triangle pairs)
@@ -393,14 +520,55 @@ def _segment_clearance(prep, scene0, light_sid, x0, nu, seg_len):
             Bt = jnp.where(is_light[None, :], 1e9, Bt)
         else:
             Bt = jnp.where(eid_sid[None, :] == light_sid[:, None], 1e9, Bt)
-        j = jnp.argmin(Bt, axis=1)
-        Bmin = jnp.take_along_axis(Bt, j[:, None], 1)[:, 0]
-        zmin = jnp.take_along_axis(ze, j[:, None, None], 1)[:, 0]
-        better = Bmin < best_B
-        best_B = jnp.where(better, Bmin, best_B)
-        best_z = jnp.where(better[:, None], zmin, best_z)
+        best_B, best_z = _fold_min(best_B, best_z, Bt, ze)
+
+    # --- aarect boxes (12 box edges each) --------------------------------
+    if prep.idx_aarect.shape[0]:
+        rows = scene0.params[prep.idx_aarect]              # (A,6)
+        a_e, b_e = _box_edges(rows[:, 0:3], rows[:, 3:6])
+        Br, zr = _ray_edges_clearance(x0, nu, seg_len, a_e, b_e)
+        best_B, best_z = _fold_min(best_B, best_z, Br, zr)
+
+    # --- squares (4 outline edges each) ----------------------------------
+    if prep.idx_square.shape[0]:
+        rows = scene0.params[prep.idx_square]              # (Q,4)
+        a_e, b_e = _square_edges(rows[:, 0:3], rows[:, 3])
+        Bq, zq = _ray_edges_clearance(x0, nu, seg_len, a_e, b_e)
+        best_B, best_z = _fold_min(best_B, best_z, Bq, zq)
 
     return jnp.minimum(best_B, _B_MISS), best_z
+
+
+def _box_edges(bmin, bmax):
+    """The 12 edges of each axis-aligned box: (A,3),(A,3) ->
+    (12A,3),(12A,3) endpoint arrays."""
+    A = bmin.shape[0]
+    # 8 corners: bit k of the index selects min/max on axis k
+    sel = jnp.array([[(i >> k) & 1 for k in range(3)] for i in range(8)],
+                    jnp.float32)                           # (8,3)
+    corners = (bmin[:, None, :] * (1.0 - sel[None])
+               + bmax[:, None, :] * sel[None])             # (A,8,3)
+    E = jnp.array([[0, 1], [2, 3], [4, 5], [6, 7],         # x-edges
+                   [0, 2], [1, 3], [4, 6], [5, 7],         # y-edges
+                   [0, 4], [1, 5], [2, 6], [3, 7]])        # z-edges
+    a = corners[:, E[:, 0], :].reshape(12 * A, 3)
+    b = corners[:, E[:, 1], :].reshape(12 * A, 3)
+    return a, b
+
+
+def _square_edges(center, size):
+    """The 4 outline edges of each axis-aligned y-plane square
+    (``square.rs:56-99`` parameterization: center + FULL side length)."""
+    Q = center.shape[0]
+    h = (0.5 * size)[:, None]                              # (Q,1)
+    sx = jnp.array([[-1.0, 1.0, 1.0, -1.0]])
+    sz = jnp.array([[-1.0, -1.0, 1.0, 1.0]])
+    corners = jnp.stack([center[:, 0:1] + h * sx,
+                         jnp.broadcast_to(center[:, 1:2], (Q, 4)),
+                         center[:, 2:3] + h * sz], axis=-1)  # (Q,4,3)
+    a = corners.reshape(4 * Q, 3)
+    b = jnp.roll(corners, -1, axis=1).reshape(4 * Q, 3)
+    return a, b
 
 
 def _uv_from_point(y, l0, l1, l2):

@@ -86,7 +86,8 @@ def render_image_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
 def _queue_sharded(renderer, mesh: Mesh, prep: trace.ScenePrep, scene,
                    settings: RenderSettings, camera: Camera,
                    pix_queue, width: int, height: int, seed,
-                   lanes_per_device: int, rid_base: int):
+                   lanes_per_device: int, rid_base: int,
+                   photon_grid=None):
     """Shared shard_map wrapper for the persistent-wavefront renderers.
 
     Each device runs the full wavefront over its queue shard with the
@@ -118,7 +119,8 @@ def _queue_sharded(renderer, mesh: Mesh, prep: trace.ScenePrep, scene,
             jax.lax.axis_index("rays").astype(jnp.uint32) * jnp.uint32(shard)
         acc, cnt, lane_cost = renderer(
             prep, scene_s, settings, camera_s, pix_s, width, height,
-            seed_s, lanes_per_device, rid_base=base)
+            seed_s, lanes_per_device, rid_base=base,
+            photon_grid=photon_grid)
         acc = jax.lax.psum(acc, "rays")
         cnt = jax.lax.psum(cnt, "rays")
         cost = jax.lax.psum(jnp.sum(lane_cost.astype(jnp.float32)), "rays")
@@ -130,7 +132,8 @@ def _queue_sharded(renderer, mesh: Mesh, prep: trace.ScenePrep, scene,
 def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
                          settings: RenderSettings, camera: Camera,
                          pix_queue, width: int, height: int, seed,
-                         lanes_per_device: int, rid_base: int = 0):
+                         lanes_per_device: int, rid_base: int = 0,
+                         photon_grid=None):
     """The persistent regenerating wavefront
     (``integrator.render_queue``) under ``shard_map`` — the production
     renderer for dense (non-clustered) scenes.
@@ -140,13 +143,14 @@ def render_queue_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
     """
     return _queue_sharded(integrator.render_queue, mesh, prep, scene,
                           settings, camera, pix_queue, width, height,
-                          seed, lanes_per_device, rid_base)
+                          seed, lanes_per_device, rid_base, photon_grid)
 
 
 def render_queue_flat_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
                               settings: RenderSettings, camera: Camera,
                               pix_queue, width: int, height: int, seed,
-                              lanes_per_device: int, rid_base: int = 0):
+                              lanes_per_device: int, rid_base: int = 0,
+                              photon_grid=None):
     """The FLAT persistent wavefront (``wavefront.render_queue_flat``)
     under ``shard_map`` — the production renderer for cluster scenes
     (meshes, clouds), i.e. the TPU realization of the reference's
@@ -166,7 +170,7 @@ def render_queue_flat_sharded(mesh: Mesh, prep: trace.ScenePrep, scene,
     from wasm_pathtracer_tpu.ops import wavefront
     return _queue_sharded(wavefront.render_queue_flat, mesh, prep, scene,
                           settings, camera, pix_queue, width, height,
-                          seed, lanes_per_device, rid_base)
+                          seed, lanes_per_device, rid_base, photon_grid)
 
 
 def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
@@ -176,7 +180,8 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
                     train_materials: bool = True,
                     train_camera: bool = True,
                     optimizer=None,
-                    photon_grid=None) -> Callable:
+                    photon_grid=None,
+                    edge_aware_screen: bool = False) -> Callable:
     """Build the jitted inverse-rendering training step.
 
     The flagship differentiable workload: render the scene, compare to a
@@ -215,10 +220,26 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
     (``ops.photon.sample`` stop-gradients the selection pdf, which is
     exactly unbiased — see its docstring).
 
+    ``edge_aware_screen``: route the loss through
+    :func:`ops.edges.render_pixels_edgeaware` — the screen-space
+    silhouette warp — so camera- and occluder-GEOMETRY gradients carry
+    primary-visibility boundary flux (a silhouette sweeping across
+    pixels when the camera or geometry moves).  Interior-only
+    gradients demonstrably stall on pose-from-image workloads (the
+    silhouette problem, SURVEY §7(b)); with the warp the same descent
+    recovers the pose.  Requires a dense differentiable prep (same
+    contract as ``edges.py``); composes with ``edge_aware_nee`` (which
+    rides ``settings``) and with PNEE.
+
     Per-device gradients over the ray shard are ``psum``-ed over the
     ``rays`` axis inside shard_map; XLA overlaps the all-reduce with the
     backward computation.
     """
+    if edge_aware_screen and (prep.cluster is not None or prep.has_bvh
+                              or prep.use_fused or prep.use_pallas):
+        raise ValueError("edge_aware_screen=True requires the dense "
+                         "differentiable trace path (no BVH/cluster/"
+                         "fused/Pallas prep)")
     if train_lights and (prep.has_bvh or prep.cluster is not None):
         # BVH / cluster preps carry BAKED triangle geometry
         # (bvh_tri_rows, cluster.blocks): intersections and occlusion
@@ -254,9 +275,14 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
                                        emission=leaves["emission"])
             if train_lights:
                 sc = sc.with_light_rows(leaves["light_rows"])
+            if edge_aware_screen:
+                from wasm_pathtracer_tpu.ops import edges
+                render = edges.render_pixels_edgeaware
+            else:
+                render = integrator.render_pixels
             cols = []
             for k in range(spp):
-                col, _ = integrator.render_pixels(
+                col, _ = render(
                     prep, sc, settings, camera, px_s, py_s, width, height,
                     seed + jnp.uint32((k * 0x9E3779B9) & 0xFFFFFFFF),
                     photon_grid=grid_s)
