@@ -171,3 +171,50 @@ def test_http_endpoints():
             assert e.code == 404
     finally:
         server.stop()
+
+
+def test_drag_to_pan_reference_clamp(live):
+    """Drag-to-pan with the reference's exact reclamp semantics
+    (``render_target.ts:128-143``): a target smaller than the window is
+    bounded WITHIN the window; a larger target must fully occupy it."""
+    # small target (32x32) in the default 512x512 window
+    assert live.recenter() == (240, 240)
+    assert live.pan(-10_000, -10_000) == (0, 0)
+    assert live.pan(10_000, 10_000) == (512 - W, 512 - H)
+    # accumulation: small drags add up before clamping bites
+    live.recenter()
+    assert live.pan(-3, 7) == (237, 247)
+    assert live.pan(-3, 7) == (234, 254)
+    # large target: shrink the window below the target size
+    live.window_w = live.window_h = 16
+    try:
+        assert live.pan(10_000, 10_000) == (0, 0)
+        assert live.pan(-10_000, -10_000) == (16 - W, 16 - H)
+        assert live.recenter() == (round((16 - W) / 2), round((16 - H) / 2))
+    finally:
+        live.window_w = live.window_h = 512
+        live.recenter()
+
+
+def test_pan_http_endpoints(live):
+    """The /pan and /recenter endpoints round-trip the clamped offsets,
+    and /status reports them (the page's drag handler syncs from the
+    returned JSON)."""
+    server = LiveServer(live, port=0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=10) as r:
+                return r.read()
+
+        live.recenter()
+        r = json.loads(get("/pan?dx=-10000&dy=5"))
+        assert r == {"x": 0, "y": 245}
+        r = json.loads(get("/recenter"))
+        assert r == {"x": 240, "y": 240}
+        status = json.loads(get("/status"))
+        assert status["pan_x"] == 240 and status["pan_y"] == 240
+        assert b"mousedown" in get("/")       # the page wires the drag
+    finally:
+        server.stop()

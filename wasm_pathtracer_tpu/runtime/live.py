@@ -55,6 +55,15 @@ class LiveSession:
             session.camera, on_update=self._on_camera)
         self.paused = False
         self.show_sampling = False
+        # drag-to-pan state: offset of the render target within the
+        # fixed on-screen window (``render_target.ts:63-149``).  Pure
+        # view state — never touches the session, so it mutates
+        # synchronously under the lock (the reference likewise pans on
+        # the main thread without involving the worker).
+        self.window_w = 512
+        self.window_h = 512
+        self.pan_x = 0
+        self.pan_y = 0
         self._pending = []                 # deferred control closures
         self._lock = threading.Lock()
         self._frame_png: bytes = b""
@@ -142,7 +151,45 @@ class LiveSession:
         self._defer(lambda s: s.update_settings(left, right))
 
     def set_viewport(self, width: int, height: int):
-        self._defer(lambda s: s.update_viewport(width, height))
+        def apply(s: Session):
+            s.update_viewport(width, height)
+            # a resized target must stay inside the window
+            # (``CanvasElement.updateTarget`` -> ``reclamp``)
+            with self._lock:
+                self._reclamp_locked()
+        self._defer(apply)
+
+    # -- drag-to-pan (``CanvasElement``, render_target.ts:63-149) -------
+    def _reclamp_locked(self):
+        """Reference ``reclamp`` semantics: a target smaller than the
+        window is bounded WITHIN the window; a larger target must fully
+        occupy it (no background visible past an edge)."""
+        tw, th = self.session.width, self.session.height
+        if tw < self.window_w:
+            self.pan_x = min(max(self.pan_x, 0), self.window_w - tw)
+        else:
+            self.pan_x = min(max(self.pan_x, self.window_w - tw), 0)
+        if th < self.window_h:
+            self.pan_y = min(max(self.pan_y, 0), self.window_h - th)
+        else:
+            self.pan_y = min(max(self.pan_y, self.window_h - th), 0)
+
+    def pan(self, dx: int, dy: int) -> tuple[int, int]:
+        """Drag the render target by (dx, dy) inside the window,
+        reclamped; returns the new offsets (the reference's mousemove
+        accumulation, ``render_target.ts:91-102``)."""
+        with self._lock:
+            self.pan_x += int(dx)
+            self.pan_y += int(dy)
+            self._reclamp_locked()
+            return self.pan_x, self.pan_y
+
+    def recenter(self) -> tuple[int, int]:
+        """Center the target in the window (``render_target.ts:116-122``)."""
+        with self._lock:
+            self.pan_x = round((self.window_w - self.session.width) / 2)
+            self.pan_y = round((self.window_h - self.session.height) / 2)
+            return self.pan_x, self.pan_y
 
     def set_show_sampling(self, flag: bool):
         self._defer(lambda s: setattr(self, "show_sampling", bool(flag)))
@@ -154,16 +201,20 @@ class LiveSession:
                     frame_id=self._frame_id,
                     width=self.session.width, height=self.session.height,
                     scene=self.session.scene_id,
-                    bvh_visits=self.session.num_bvh_hits)
+                    bvh_visits=self.session.num_bvh_hits,
+                    pan_x=self.pan_x, pan_y=self.pan_y)
 
 
 _PAGE = """<!doctype html><html><head><title>wasm_pathtracer_tpu</title>
 <style>body{background:#111;color:#ccc;font-family:monospace}
-img{image-rendering:pixelated;border:1px solid #444}</style></head><body>
+img{image-rendering:pixelated;position:absolute;left:0;top:0}
+#win{position:relative;overflow:hidden;width:512px;height:512px;
+border:1px solid #444;background:#3e3e3e;cursor:grab}</style></head><body>
 <h3>wasm_pathtracer_tpu &mdash; live</h3>
-<img id=v width=512><br>
+<div id=win><img id=v draggable=false></div>
 <button onclick="fetch('/pause')">pause</button>
 <button onclick="fetch('/resume')">resume</button>
+<button onclick="pan('/recenter')">recenter</button>
 scene:<select id=sc onchange="fetch('/scene?id='+this.value)">
 <option value=0>museum</option><option value=2>bunny</option>
 <option value=3>cloud100</option><option value=4>cloud10k</option>
@@ -179,6 +230,15 @@ right:<select id=rt onchange="st()"><option value=0>NoNEE</option>
 <script>
 function st(){fetch('/settings?left='+lt.value+'&right='+rt.value+
   '&right_adaptive='+(ra.checked?1:0))}
+// drag-to-pan (reference CanvasElement, render_target.ts:63-149):
+// accumulate mouse deltas; the server reclamps and returns offsets
+async function pan(url){const r=await(await fetch(url)).json();
+  v.style.left=r.x+'px';v.style.top=r.y+'px'}
+let down=false;
+win.addEventListener('mousedown',e=>{down=true;e.preventDefault()});
+document.addEventListener('mouseup',()=>{down=false});
+document.addEventListener('mousemove',e=>{
+  if(down&&(e.buttons&1))pan('/pan?dx='+e.movementX+'&dy='+e.movementY)});
 const KEYS={w:'w',a:'a',s:'s',d:'d',ArrowLeft:'left',ArrowRight:'right',
   ArrowUp:'up',ArrowDown:'down',PageUp:'pageup',PageDown:'pagedown'};
 document.addEventListener('keydown',e=>{const k=KEYS[e.key];
@@ -219,6 +279,15 @@ class LiveServer:
                     return self._ok(live_ref.frame_png(), "image/png")
                 if p == "/status":
                     return self._ok(json.dumps(live_ref.status()).encode(),
+                                    "application/json")
+                if p == "/pan":
+                    x, y = live_ref.pan(int(q.get("dx", 0)),
+                                        int(q.get("dy", 0)))
+                    return self._ok(json.dumps({"x": x, "y": y}).encode(),
+                                    "application/json")
+                if p == "/recenter":
+                    x, y = live_ref.recenter()
+                    return self._ok(json.dumps({"x": x, "y": y}).encode(),
                                     "application/json")
                 if p == "/key":
                     live_ref.key(q.get("k", ""), int(q.get("n", 1)))
