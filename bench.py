@@ -23,13 +23,26 @@ path, ``src/tracer.rs:99-123``), including all bounce and shadow rays.
     "backward grad rays/sec measured alongside forward"): 262,144
     rays x 5 iterations with per-bounce rematerialization, plus
     half-batch and no-remat variants and XLA-reported gradient
-    temp memory.
+    temp memory.  The no-remat variant is EXPECTED to exceed HBM on a
+    16 GB chip (8 bounces x 108 lights x 262k rays of residuals); it
+    is gated by an XLA ``memory_analysis()`` pre-check and an OOM is
+    recorded as a *result* (``backward_noremat_oom`` + the temp size)
+    — that is the remat-tradeoff datum, not a crash.
   - ``adaptive_1080p_paths_per_sec``: 1920x1080 variance-guided
     adaptive sampling, single chip (BASELINE config 5's 1-chip half).
   - ``museum_sol_pct`` / ``mesh70k_sol_pct`` / ``cloud100k_sol_pct``:
     achieved fraction of estimated VPU peak for the fused dense kernel
     mix (_sol_model) and for the flattened-traversal kernel mix
     (_sol_model_flat).
+
+Robustness contract (learned from round 3, where a 20 GB HLO-temp OOM
+in the final stage destroyed every already-measured number): every
+stage runs under ``_stage``, which catches failures into
+``extras["failures"]`` and emits the partial result set after EVERY
+stage — one flushed ``bench-stage:`` line on stderr plus a rewrite of
+``BENCH_PARTIAL.json`` — so a hard kill can lose at most the stage in
+flight.  The single stdout JSON line still prints exactly once at the
+end.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 only throughput machinery it documents is the worker auto-tuner's
@@ -39,9 +52,15 @@ rays/sec anchor.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Leave headroom under the v5e's 16 GB HBM for args/outputs/fragmentation
+# when deciding whether a compiled executable's HLO temps can run at all.
+_HBM_TEMP_BUDGET_MB = 12_000
 
 
 def _bench_queue(fn, prep, scene, settings, cam, W, H, S, B, n_iters=3,
@@ -149,6 +168,46 @@ def _sol_model_flat(scene, prep, B, iters_per_sec):
     return 100.0 * iters_per_sec * per_iter / _VPU_PEAK
 
 
+class _Results:
+    """Accumulates stage results and emits partials after every stage."""
+
+    def __init__(self):
+        self.extras = {}
+        self.failures = {}
+        self.headline = None
+        self._partial_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_PARTIAL.json")
+
+    def emit_partial(self, stage_name, dt):
+        snap = {"stage": stage_name, "stage_seconds": round(dt, 1),
+                "headline_paths_per_sec": self.headline,
+                "extras": self.extras, "failures": self.failures}
+        line = json.dumps(snap)
+        print(f"bench-stage: {line}", file=sys.stderr, flush=True)
+        try:
+            tmp = self._partial_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(line + "\n")
+            os.replace(tmp, self._partial_path)
+        except OSError:
+            pass
+
+
+def _stage(res, name):
+    """Decorator-ish runner: run ``fn`` under try/except, record any
+    failure in ``extras['failures']`` instead of dying, and emit the
+    partial result set either way."""
+    def run(fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — a bench stage must not kill the artifact
+            msg = f"{type(e).__name__}: {e}"
+            res.failures[name] = msg[:400]
+        res.emit_partial(name, time.perf_counter() - t0)
+    return run
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -160,54 +219,69 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
                               max_bounces=8)
-    extras = {}
+    res = _Results()
+    extras = res.extras
 
     # -- 1. museum headline (fused megakernel, regenerating wavefront) --
     scene = scenes.museum()
-    prep = trace.prepare(scene, use_fused=on_tpu)
-    # queue/lane sweep on the v5e-class chip: (2.6M, 64k) ~ 3.5M paths/s,
-    # (5.2M, 64k) ~ 3.7M; larger queues amortize the drain tail
-    museum_pps, museum_tpp = _bench_queue(
-        integrator.render_queue, prep, scene, settings, initial_camera(0),
-        512, 512, S=2_621_440, B=65_536)
-    extras["museum_sol_pct"] = round(
-        _sol_model(scene, museum_tpp, museum_pps), 2)
+    museum_state = {}
+
+    @_stage(res, "museum")
+    def _():
+        prep = trace.prepare(scene, use_fused=on_tpu)
+        # queue/lane sweep on the v5e-class chip: (2.6M, 64k) ~ 3.5M
+        # paths/s, (5.2M, 64k) ~ 3.7M; larger queues amortize the drain
+        # tail
+        pps, tpp = _bench_queue(
+            integrator.render_queue, prep, scene, settings,
+            initial_camera(0), 512, 512, S=2_621_440, B=65_536)
+        res.headline = round(pps, 1)
+        museum_state["pps"] = pps
+        extras["museum_sol_pct"] = round(_sol_model(scene, tpp, pps), 2)
 
     # -- 2. bunny-class mesh (~70k tris) through the flat wavefront ----
-    mesh = scenes.mesh_scene(scenes.surface_mesh(188))
-    prep_m = bvh.attach_clusters(trace.prepare(mesh, use_fused=on_tpu),
-                                 mesh)
-    cam_m = Camera.create((0.0, 1.0, -6.0), 0.1, 0.0)
-    pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_m, mesh,
-                               settings, cam_m, 512, 512,
-                               S=524_288, B=32_768, want_iters=True)
-    extras["mesh70k_paths_per_sec"] = round(pps, 1)
-    extras["mesh70k_sol_pct"] = round(
-        _sol_model_flat(mesh, prep_m, 32_768, ips), 2)
+    @_stage(res, "mesh70k")
+    def _():
+        mesh = scenes.mesh_scene(scenes.surface_mesh(188))
+        prep_m = bvh.attach_clusters(trace.prepare(mesh, use_fused=on_tpu),
+                                     mesh)
+        cam_m = Camera.create((0.0, 1.0, -6.0), 0.1, 0.0)
+        pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_m,
+                                   mesh, settings, cam_m, 512, 512,
+                                   S=524_288, B=32_768, want_iters=True)
+        extras["mesh70k_paths_per_sec"] = round(pps, 1)
+        extras["mesh70k_sol_pct"] = round(
+            _sol_model_flat(mesh, prep_m, 32_768, ips), 2)
 
     # -- 3. 100k-triangle cloud (scene id 5) ----------------------------
-    cloud = scenes.select_scene(5)
-    prep_c = bvh.attach_clusters(trace.prepare(cloud, use_fused=on_tpu),
-                                 cloud)
-    pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_c, cloud,
-                               settings, initial_camera(5), 512, 512,
-                               S=524_288, B=32_768, want_iters=True)
-    extras["cloud100k_paths_per_sec"] = round(pps, 1)
-    extras["cloud100k_sol_pct"] = round(
-        _sol_model_flat(cloud, prep_c, 32_768, ips), 2)
+    @_stage(res, "cloud100k")
+    def _():
+        cloud = scenes.select_scene(5)
+        prep_c = bvh.attach_clusters(trace.prepare(cloud, use_fused=on_tpu),
+                                     cloud)
+        pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_c,
+                                   cloud, settings, initial_camera(5),
+                                   512, 512, S=524_288, B=32_768,
+                                   want_iters=True)
+        extras["cloud100k_paths_per_sec"] = round(pps, 1)
+        extras["cloud100k_sol_pct"] = round(
+            _sol_model_flat(cloud, prep_c, 32_768, ips), 2)
 
     # -- 3b. 300k-triangle cloud: beyond the VMEM table budget, the
     # probe kernel streams per-lane tiles from HBM (the x8-scale
     # high-poly workload slot, ``index.ts:213-222``) ------------------
-    big = scenes.cloud(300_000)
-    prep_big = bvh.attach_clusters(trace.prepare(big, use_fused=on_tpu),
-                                   big)
-    pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_big, big,
-                               settings, initial_camera(5), 512, 512,
-                               S=262_144, B=32_768, want_iters=True)
-    extras["cloud300k_paths_per_sec"] = round(pps, 1)
-    extras["cloud300k_sol_pct"] = round(
-        _sol_model_flat(big, prep_big, 32_768, ips), 2)
+    @_stage(res, "cloud300k")
+    def _():
+        big = scenes.cloud(300_000)
+        prep_big = bvh.attach_clusters(
+            trace.prepare(big, use_fused=on_tpu), big)
+        pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_big,
+                                   big, settings, initial_camera(5),
+                                   512, 512, S=262_144, B=32_768,
+                                   want_iters=True)
+        extras["cloud300k_paths_per_sec"] = round(pps, 1)
+        extras["cloud300k_sol_pct"] = round(
+            _sol_model_flat(big, prep_big, 32_768, ips), 2)
 
     # -- 4. backward: grads of the scan-form museum render --------------
     # (XLA dense path: Pallas is forward-only; bounce-checkpointed scan.)
@@ -216,7 +290,10 @@ def main():
     # noise), 5 timed iterations, with and without per-bounce
     # rematerialization (config.checkpoint_bounces), plus a half-batch
     # run to show the rate survives a 2x batch change; gradient memory
-    # from XLA's own memory analysis of the compiled executable.
+    # from XLA's own memory analysis of the compiled executable.  The
+    # no-remat variant compiles first and only RUNS if its HLO temps
+    # fit the HBM budget — an over-budget compile is recorded as the
+    # remat-tradeoff datum, never executed.
     prep_g = trace.prepare(scene)
     cam0 = initial_camera(0)
 
@@ -241,6 +318,9 @@ def main():
             temp_mb = compiled.memory_analysis().temp_size_in_bytes / 2**20
         except Exception:
             temp_mb = float("nan")
+        if temp_mb == temp_mb and temp_mb > _HBM_TEMP_BUDGET_MB:
+            # Would OOM the chip: the pre-check IS the datum.
+            return None, temp_mb
         out = grad_step(scene.albedo, cam0, jnp.uint32(0))   # warm
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -249,32 +329,57 @@ def main():
         jax.block_until_ready(outs)
         return n_iters * Rg / (time.perf_counter() - t0), temp_mb
 
-    rps, mem = _bench_backward(262_144, remat=True)
-    extras["backward_grad_rays_per_sec"] = round(rps, 1)
-    extras["backward_temp_mem_mb"] = round(mem, 1)
-    rps_h, _ = _bench_backward(131_072, remat=True)
-    extras["backward_grad_rays_per_sec_half_batch"] = round(rps_h, 1)
-    rps_nr, mem_nr = _bench_backward(262_144, remat=False)
-    extras["backward_noremat_rays_per_sec"] = round(rps_nr, 1)
-    extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
+    @_stage(res, "backward_remat")
+    def _():
+        rps, mem = _bench_backward(262_144, remat=True)
+        extras["backward_temp_mem_mb"] = round(mem, 1)
+        if rps is None:                     # pre-check refused to run it
+            extras["backward_remat_oom"] = True
+        else:
+            extras["backward_grad_rays_per_sec"] = round(rps, 1)
+
+    @_stage(res, "backward_half_batch")
+    def _():
+        rps_h, _ = _bench_backward(131_072, remat=True)
+        if rps_h is not None:
+            extras["backward_grad_rays_per_sec_half_batch"] = round(rps_h, 1)
+
+    @_stage(res, "backward_noremat")
+    def _():
+        rps_nr, mem_nr = _bench_backward(262_144, remat=False)
+        extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
+        if rps_nr is None:
+            extras["backward_noremat_oom"] = True
+            extras["backward_noremat_note"] = (
+                "HLO temps exceed the %d MB HBM budget (16 GB v5e); "
+                "executable compiled but not run — this is the "
+                "remat-vs-memory tradeoff datum" % _HBM_TEMP_BUDGET_MB)
+        else:
+            extras["backward_noremat_oom"] = False
+            extras["backward_noremat_rays_per_sec"] = round(rps_nr, 1)
 
     # -- 5. 1080p adaptive, single chip (config 5's 1-chip half) --------
-    from wasm_pathtracer_tpu.runtime.session import Session
-    aset = settings.replace(adaptive=True, ray_batch_size=262_144,
-                            regen_lanes=65_536)
-    sess = Session(1920, 1080, scene_id=0, left=aset, right=aset)
-    sess.compute(262_144)                                 # warm both halves
-    t0 = time.perf_counter()
-    traced = sess.compute(2 * 2_097_152)
-    dt = time.perf_counter() - t0
-    extras["adaptive_1080p_paths_per_sec"] = round(traced / dt, 1)
+    @_stage(res, "adaptive_1080p")
+    def _():
+        from wasm_pathtracer_tpu.runtime.session import Session
+        aset = settings.replace(adaptive=True, ray_batch_size=262_144,
+                                regen_lanes=65_536)
+        sess = Session(1920, 1080, scene_id=0, left=aset, right=aset)
+        sess.compute(262_144)                             # warm both halves
+        t0 = time.perf_counter()
+        traced = sess.compute(2 * 2_097_152)
+        dt = time.perf_counter() - t0
+        extras["adaptive_1080p_paths_per_sec"] = round(traced / dt, 1)
 
     baseline = 1.0e4  # reference worker initial auto-tune rate (see above)
+    if res.failures:
+        extras["failures"] = res.failures
+    headline = res.headline if res.headline is not None else 0.0
     print(json.dumps({
         "metric": "rays_per_sec_1chip",
-        "value": round(museum_pps, 1),
+        "value": headline,
         "unit": "paths/s",
-        "vs_baseline": round(museum_pps / baseline, 2),
+        "vs_baseline": round(headline / baseline, 2),
         "extras": extras,
     }))
 
