@@ -25,9 +25,11 @@ path, ``src/tracer.rs:99-123``), including all bounce and shadow rays.
     half-batch and no-remat variants and XLA-reported gradient
     temp memory.  The no-remat variant is EXPECTED to exceed HBM on a
     16 GB chip (8 bounces x 108 lights x 262k rays of residuals); it
-    is gated by an XLA ``memory_analysis()`` pre-check and an OOM is
-    recorded as a *result* (``backward_noremat_oom`` + the temp size)
-    — that is the remat-tradeoff datum, not a crash.
+    runs LAST, its execution is wrapped so an OOM (at run time or in
+    the compile helper) is recorded as a *result*
+    (``backward_noremat_oom`` + temp size + error head) — the
+    remat-tradeoff datum, not a crash.  See the memory-gating note
+    below for why ``memory_analysis()`` cannot pre-decide this.
   - ``adaptive_1080p_paths_per_sec``: 1920x1080 variance-guided
     adaptive sampling, single chip (BASELINE config 5's 1-chip half).
   - ``museum_sol_pct`` / ``mesh70k_sol_pct`` / ``cloud100k_sol_pct``:
@@ -58,9 +60,14 @@ import time
 
 import numpy as np
 
-# Leave headroom under the v5e's 16 GB HBM for args/outputs/fragmentation
-# when deciding whether a compiled executable's HLO temps can run at all.
-_HBM_TEMP_BUDGET_MB = 12_000
+# NOTE on memory gating: XLA's ``memory_analysis().temp_size_in_bytes``
+# on this stack reports TOTAL temp buffer bytes, not peak simultaneous
+# allocation — the museum remat backward reports ~19 GB of temps yet
+# executes fine on the 16 GB chip (measured).  So the pre-check cannot
+# decide runnability; instead every backward variant ATTEMPTS execution
+# under try/except, a runtime OOM is recorded as the result, and the
+# riskiest variant (no-remat) runs as the LAST stage so even an
+# unrecoverable failure cannot destroy earlier measurements.
 
 
 def _bench_queue(fn, prep, scene, settings, cam, W, H, S, B, n_iters=3,
@@ -232,12 +239,25 @@ def main():
         # queue/lane sweep on the v5e-class chip: (2.6M, 64k) ~ 3.5M
         # paths/s, (5.2M, 64k) ~ 3.7M; larger queues amortize the drain
         # tail
-        pps, tpp = _bench_queue(
+        B = 65_536
+        pps, tpp, ips = _bench_queue(
             integrator.render_queue, prep, scene, settings,
-            initial_camera(0), 512, 512, S=2_621_440, B=65_536)
+            initial_camera(0), 512, 512, S=2_621_440, B=B,
+            want_iters=True)
         res.headline = round(pps, 1)
         museum_state["pps"] = pps
         extras["museum_sol_pct"] = round(_sol_model(scene, tpp, pps), 2)
+        # iteration-based accounting (PROFILE_r04.md): every outer-loop
+        # iteration executes one full-width trace AND one full-width
+        # shadow trace regardless of lane liveness, so hardware flops/s
+        # = B * iters/s * 2 * sum(prim flops).  This measures what the
+        # machine runs; the legacy museum_sol_pct charges only the
+        # tests a PATH consumed, so it additionally absorbs occupancy
+        # and bookkeeping losses (trace is ~32% of each iteration).
+        ptype = np.asarray(scene.ptype)
+        flops_iter = 2.0 * B * sum(_PRIM_FLOPS[int(t)] for t in ptype)
+        extras["museum_trace_sol_pct"] = round(
+            100.0 * ips * flops_iter / _VPU_PEAK, 2)
 
     # -- 2. bunny-class mesh (~70k tris) through the flat wavefront ----
     @_stage(res, "mesh70k")
@@ -312,51 +332,47 @@ def main():
             l, g = jax.value_and_grad(loss, argnums=(0, 1))(albedo, camera)
             return l, g
 
-        lowered = grad_step.lower(scene.albedo, cam0, jnp.uint32(0))
-        compiled = lowered.compile()
         try:
+            lowered = grad_step.lower(scene.albedo, cam0, jnp.uint32(0))
+            compiled = lowered.compile()
+        except Exception as e:
+            # the no-remat variant can kill the COMPILE helper outright
+            # (observed: HTTP 500 from tpu_compile_helper while laying
+            # out the ~20 GB buffer assignment) — that too is the
+            # remat-tradeoff datum
+            return None, float("nan"), f"{type(e).__name__}: {e}"[:300]
+        try:
+            # informational only: total temp bytes, NOT peak (see the
+            # module note) — still the right remat-vs-memory datum
             temp_mb = compiled.memory_analysis().temp_size_in_bytes / 2**20
         except Exception:
             temp_mb = float("nan")
-        if temp_mb == temp_mb and temp_mb > _HBM_TEMP_BUDGET_MB:
-            # Would OOM the chip: the pre-check IS the datum.
-            return None, temp_mb
-        out = grad_step(scene.albedo, cam0, jnp.uint32(0))   # warm
-        jax.block_until_ready(out)
+        try:
+            out = grad_step(scene.albedo, cam0, jnp.uint32(0))   # warm
+            jax.block_until_ready(out)
+        except Exception as e:                  # runtime OOM is a RESULT
+            return None, temp_mb, f"{type(e).__name__}: {e}"[:300]
         t0 = time.perf_counter()
         outs = [grad_step(scene.albedo, cam0, jnp.uint32(i))
                 for i in range(1, n_iters + 1)]
         jax.block_until_ready(outs)
-        return n_iters * Rg / (time.perf_counter() - t0), temp_mb
+        return n_iters * Rg / (time.perf_counter() - t0), temp_mb, None
 
     @_stage(res, "backward_remat")
     def _():
-        rps, mem = _bench_backward(262_144, remat=True)
+        rps, mem, err = _bench_backward(262_144, remat=True)
         extras["backward_temp_mem_mb"] = round(mem, 1)
-        if rps is None:                     # pre-check refused to run it
+        if rps is None:
             extras["backward_remat_oom"] = True
+            extras["backward_remat_error"] = err
         else:
             extras["backward_grad_rays_per_sec"] = round(rps, 1)
 
     @_stage(res, "backward_half_batch")
     def _():
-        rps_h, _ = _bench_backward(131_072, remat=True)
+        rps_h, _, _ = _bench_backward(131_072, remat=True)
         if rps_h is not None:
             extras["backward_grad_rays_per_sec_half_batch"] = round(rps_h, 1)
-
-    @_stage(res, "backward_noremat")
-    def _():
-        rps_nr, mem_nr = _bench_backward(262_144, remat=False)
-        extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
-        if rps_nr is None:
-            extras["backward_noremat_oom"] = True
-            extras["backward_noremat_note"] = (
-                "HLO temps exceed the %d MB HBM budget (16 GB v5e); "
-                "executable compiled but not run — this is the "
-                "remat-vs-memory tradeoff datum" % _HBM_TEMP_BUDGET_MB)
-        else:
-            extras["backward_noremat_oom"] = False
-            extras["backward_noremat_rays_per_sec"] = round(rps_nr, 1)
 
     # -- 5. 1080p adaptive, single chip (config 5's 1-chip half) --------
     @_stage(res, "adaptive_1080p")
@@ -370,6 +386,23 @@ def main():
         traced = sess.compute(2 * 2_097_152)
         dt = time.perf_counter() - t0
         extras["adaptive_1080p_paths_per_sec"] = round(traced / dt, 1)
+
+    # -- 6. backward WITHOUT remat: 8 bounces x 108 lights x 262k rays
+    # of residuals — expected to exceed the 16 GB chip.  LAST on
+    # purpose: a failure here (runtime OOM, or the compile helper
+    # dying on the ~20 GB buffer assignment) must not cost any other
+    # stage, and either failure mode is itself the remat-tradeoff
+    # datum (r03 lost the whole artifact to this exact stage).
+    @_stage(res, "backward_noremat")
+    def _():
+        rps_nr, mem_nr, err = _bench_backward(262_144, remat=False)
+        extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
+        if rps_nr is None:
+            extras["backward_noremat_oom"] = True
+            extras["backward_noremat_error"] = err
+        else:
+            extras["backward_noremat_oom"] = False
+            extras["backward_noremat_rays_per_sec"] = round(rps_nr, 1)
 
     baseline = 1.0e4  # reference worker initial auto-tune rate (see above)
     if res.failures:

@@ -21,7 +21,9 @@ Components of one iteration (``ops/integrator.py::body``):
              bookkeeping (full iteration minus the three above).
 
 Writes PROFILE_r04.md (human summary + SOL accounting) and prints one
-JSON line with the raw numbers.
+JSON line with the raw numbers.  NOTE: regenerating OVERWRITES the
+file, including the flat-wavefront section appended from
+``examples/profile_flat.py``'s numbers — rerun both when refreshing.
 
 Usage:  python examples/profile_museum.py [--lanes 65536] [--out PROFILE_r04.md]
 """
