@@ -236,10 +236,11 @@ def main():
     @_stage(res, "museum")
     def _():
         prep = trace.prepare(scene, use_fused=on_tpu)
-        # queue/lane sweep on the v5e-class chip: (2.6M, 64k) ~ 3.5M
-        # paths/s, (5.2M, 64k) ~ 3.7M; larger queues amortize the drain
-        # tail
-        B = 65_536
+        # queue/lane sweep on the v5e-class chip (r04): large queues
+        # amortize the drain tail, and SMALLER lane counts beat larger
+        # ones (cache pressure, not launch overhead — 8k/16k/32k/64k/
+        # 128k -> 5.39/5.50/5.30/5.23/4.95 M paths/s); peak at 16k
+        B = 16_384
         pps, tpp, ips = _bench_queue(
             integrator.render_queue, prep, scene, settings,
             initial_camera(0), 512, 512, S=2_621_440, B=B,
@@ -266,12 +267,14 @@ def main():
         prep_m = bvh.attach_clusters(trace.prepare(mesh, use_fused=on_tpu),
                                      mesh)
         cam_m = Camera.create((0.0, 1.0, -6.0), 0.1, 0.0)
+        # flat-wavefront lane sweep (r04): 4k/8k/12k/16k/32k/64k ->
+        # 0.66/0.98/1.15/1.21/1.12/0.87 M paths/s; peak at 16k
         pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_m,
                                    mesh, settings, cam_m, 512, 512,
-                                   S=524_288, B=32_768, want_iters=True)
+                                   S=524_288, B=16_384, want_iters=True)
         extras["mesh70k_paths_per_sec"] = round(pps, 1)
         extras["mesh70k_sol_pct"] = round(
-            _sol_model_flat(mesh, prep_m, 32_768, ips), 2)
+            _sol_model_flat(mesh, prep_m, 16_384, ips), 2)
 
     # -- 3. 100k-triangle cloud (scene id 5) ----------------------------
     @_stage(res, "cloud100k")
@@ -281,11 +284,11 @@ def main():
                                      cloud)
         pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_c,
                                    cloud, settings, initial_camera(5),
-                                   512, 512, S=524_288, B=32_768,
+                                   512, 512, S=524_288, B=16_384,
                                    want_iters=True)
         extras["cloud100k_paths_per_sec"] = round(pps, 1)
         extras["cloud100k_sol_pct"] = round(
-            _sol_model_flat(cloud, prep_c, 32_768, ips), 2)
+            _sol_model_flat(cloud, prep_c, 16_384, ips), 2)
 
     # -- 3b. 300k-triangle cloud: beyond the VMEM table budget, the
     # probe kernel streams per-lane tiles from HBM (the x8-scale
@@ -295,13 +298,17 @@ def main():
         big = scenes.cloud(300_000)
         prep_big = bvh.attach_clusters(
             trace.prepare(big, use_fused=on_tpu), big)
+        # HBM-streamed path prefers even narrower wavefronts (r04 sweep:
+        # 2k/4k/8k/16k/32k -> 0.55/0.77/0.83/0.69/0.48 M paths/s): each
+        # lane's tile DMA contends for VMEM staging, so fewer in-flight
+        # lanes stream better; peak at 8k
         pps, _, ips = _bench_queue(wavefront.render_queue_flat, prep_big,
                                    big, settings, initial_camera(5),
-                                   512, 512, S=262_144, B=32_768,
+                                   512, 512, S=262_144, B=8_192,
                                    want_iters=True)
         extras["cloud300k_paths_per_sec"] = round(pps, 1)
         extras["cloud300k_sol_pct"] = round(
-            _sol_model_flat(big, prep_big, 32_768, ips), 2)
+            _sol_model_flat(big, prep_big, 8_192, ips), 2)
 
     # -- 4. backward: grads of the scan-form museum render --------------
     # (XLA dense path: Pallas is forward-only; bounce-checkpointed scan.)
@@ -361,7 +368,8 @@ def main():
     @_stage(res, "backward_remat")
     def _():
         rps, mem, err = _bench_backward(262_144, remat=True)
-        extras["backward_temp_mem_mb"] = round(mem, 1)
+        if mem == mem:                      # NaN is not strict JSON
+            extras["backward_temp_mem_mb"] = round(mem, 1)
         if rps is None:
             extras["backward_remat_oom"] = True
             extras["backward_remat_error"] = err
@@ -379,7 +387,7 @@ def main():
     def _():
         from wasm_pathtracer_tpu.runtime.session import Session
         aset = settings.replace(adaptive=True, ray_batch_size=262_144,
-                                regen_lanes=65_536)
+                                regen_lanes=16_384)
         sess = Session(1920, 1080, scene_id=0, left=aset, right=aset)
         sess.compute(262_144)                             # warm both halves
         t0 = time.perf_counter()
@@ -396,7 +404,8 @@ def main():
     @_stage(res, "backward_noremat")
     def _():
         rps_nr, mem_nr, err = _bench_backward(262_144, remat=False)
-        extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
+        if mem_nr == mem_nr:                # NaN is not strict JSON
+            extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
         if rps_nr is None:
             extras["backward_noremat_oom"] = True
             extras["backward_noremat_error"] = err

@@ -145,8 +145,12 @@ class RenderSettings:
     use_regen: bool = True
     # Wavefront width for the regenerating loop; the queue per step is
     # ``ray_batch_size``, so occupancy stays high while the drain tail
-    # costs ~lanes/batch of a step.
-    regen_lanes: int = 8192
+    # costs ~lanes/batch of a step.  r04 lane sweep on v5e: throughput
+    # peaks at 16k for both the museum fused queue (5.50M paths/s;
+    # 8k/32k/64k within -2/-4/-5%) and the flat mesh wavefront (1.21M);
+    # wider wavefronts LOSE to cache pressure (64k museum -5%, 64k mesh
+    # -28%).  HBM-streamed cluster tables (>131k prims) prefer 8k.
+    regen_lanes: int = 16384
     # Flattened traversal (``ops.wavefront.render_queue_flat``): cluster
     # probe micro-steps interleave with bounces in one persistent loop,
     # so no lane waits lockstep on the slowest ray's probe sequence.

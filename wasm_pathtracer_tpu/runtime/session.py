@@ -115,7 +115,13 @@ class RenderInstance:
             # rid_base decorrelates the halves' RNG streams (both count
             # queue slots from 0 under the same per-round seed)
             use_regen = settings.use_regen and settings.early_exit
-            lanes = min(settings.regen_lanes, batch)
+            # lane width: regen_lanes capped at a quarter of the
+            # per-step queue — the session's queue is only one batch
+            # (unlike bench.py's multi-million-path queues), so wider
+            # wavefronts pay their whole drain tail every step (at
+            # lanes == batch/2 the tail is ~50% of the step; measured
+            # 543k vs 843k paths/s on the 128x128 CLI scene)
+            lanes = max(1024, min(settings.regen_lanes, batch // 4))
             rid_base = (0x40000000 if self.x0 > 0 or self.y0 > 0 else 0)
 
             # donate the accumulator: it is rebound to the result each
