@@ -231,7 +231,6 @@ def main():
 
     # -- 1. museum headline (fused megakernel, regenerating wavefront) --
     scene = scenes.museum()
-    museum_state = {}
 
     @_stage(res, "museum")
     def _():
@@ -246,7 +245,6 @@ def main():
             initial_camera(0), 512, 512, S=2_621_440, B=B,
             want_iters=True)
         res.headline = round(pps, 1)
-        museum_state["pps"] = pps
         extras["museum_sol_pct"] = round(_sol_model(scene, tpp, pps), 2)
         # iteration-based accounting (PROFILE_r04.md): every outer-loop
         # iteration executes one full-width trace AND one full-width
@@ -318,9 +316,10 @@ def main():
     # rematerialization (config.checkpoint_bounces), plus a half-batch
     # run to show the rate survives a 2x batch change; gradient memory
     # from XLA's own memory analysis of the compiled executable.  The
-    # no-remat variant compiles first and only RUNS if its HLO temps
-    # fit the HBM budget — an over-budget compile is recorded as the
-    # remat-tradeoff datum, never executed.
+    # no-remat variant ALWAYS attempts execution (see the module-level
+    # memory-gating note: memory_analysis cannot pre-decide
+    # runnability); a compile-helper death or runtime OOM is caught
+    # and recorded as the remat-tradeoff datum.
     prep_g = trace.prepare(scene)
     cam0 = initial_camera(0)
 

@@ -200,7 +200,7 @@ def main():
     out = dict(backend=jax.default_backend(),
                device=str(jax.devices()[0]),
                all_ok=bool(ok_all), checks=checks)
-    path = REPO / "MOSAIC_PARITY_r03.json"
+    path = REPO / "MOSAIC_PARITY_r04.json"
     path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}  all_ok={ok_all}")
     return 0 if ok_all else 1

@@ -139,3 +139,66 @@ def test_nee_warp_values_and_gradient_gate():
     assert np.isfinite(vel).all()
     assert np.abs(vel[:2]).max() > 1e-3     # near-boundary: warp moves
     assert np.abs(vel[2:]).max() < 2e-3     # clear segments: gated down
+
+
+def test_segment_clearance_torus():
+    """Torus clearance (signed SDF minimum along the segment,
+    ``edges._torus_segment_clearance``): -> 0 at grazing from BOTH
+    sides, nearest silhouette point on the torus surface.  Flat-lying
+    torus at (0,0,5), R=1, r=0.25: outer equator at radius 1.25, top
+    of the tube at y=0.25."""
+    b = scenes.SceneBuilder(background=(0.0, 0.0, 0.0))
+    b.add_torus((0.0, 0.0, 5.0), 1.0, 0.25,
+                scenes.Material.diffuse(0.5, 0.5, 0.5))
+    scene = b.build()
+    prep = trace.prepare(scene)
+    scene0 = jax.tree.map(jax.lax.stop_gradient, scene)
+    # the segment from (3, 0) to (-3, y_t) sits at height y_t/3 when
+    # it crosses the NEAR tube ring (x = +1), so grazing its top
+    # (y = 0.25) needs y_t ~ 0.76 — anchoring the graze height at the
+    # segment END would instead pass through the tube interior
+    x0 = jnp.tile(jnp.asarray([[3.0, 0.0, 5.0]], jnp.float32), (4, 1))
+    targets = jnp.asarray([[-3.0, 0.0, 5.0],     # through the tube
+                           [-3.0, 0.76, 5.0],    # grazing the tube top
+                           [-3.0, 3.0, 5.0],     # far above
+                           [0.0, 3.0, 5.0]],     # up over the near rim
+                          jnp.float32)
+    nu = targets - x0
+    seg_len = jnp.sqrt(jnp.sum(nu ** 2, -1))
+    nu = nu / seg_len[:, None]
+    lsid = jnp.full((4,), -7, jnp.int32)
+    B, z = edges._segment_clearance(prep, scene0, lsid, x0, nu, seg_len)
+    B = np.asarray(B)
+    z = np.asarray(z)
+    assert B[0] > 0.03         # blocked through the tube: penetration
+    assert B[1] < 0.02         # grazing
+    assert B[2] > B[1]         # clear side increases with distance
+    # grazing silhouette point lies on the torus surface (sdf ~ 0)
+    from wasm_pathtracer_tpu.ops.intersect import _torus_sdf
+    sdf_z = float(_torus_sdf(jnp.asarray(z[1]) -
+                             jnp.asarray([0.0, 0.0, 5.0]), 1.0, 0.25))
+    assert abs(sdf_z) < 5e-3, sdf_z
+
+
+def test_boundary_test_aarect_per_axis_normalization():
+    """Elongated aarect boxes (museum divider rails are 0.2 x 3 x 40)
+    must read B ~ 0 only NEAR outline edges — a shared max-extent
+    normalization saturated the whole face at B < 0.04 and made the
+    screen warp treat entire faces as silhouettes."""
+    b = scenes.SceneBuilder(background=(0.0, 0.0, 0.0))
+    b.add_aarect(-0.1, 0.1, -1.0, 2.0, -20.0, 20.0,
+                 scenes.Material.diffuse(0.5, 0.5, 0.5))
+    scene = b.build()
+    scene0 = jax.tree.map(jax.lax.stop_gradient, scene)
+    # hits ON the x = +0.1 face: one at the face center, one near the
+    # y = 2 outline edge, one near the z = 20 outline edge
+    x0 = jnp.asarray([[0.1, 0.5, 0.0],
+                      [0.1, 1.98, 0.0],
+                      [0.1, 0.5, 19.9]], jnp.float32)
+    d0 = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32), (3, 1))
+    n0 = -d0
+    sid = jnp.zeros((3,), jnp.int32)
+    B = np.asarray(edges._boundary_test(scene0, sid, x0, d0, n0))
+    assert B[0] > 0.15, B      # face interior: far from any edge
+    assert B[1] < 0.02, B      # near the y-edge
+    assert B[2] < 0.02, B      # near the z-edge

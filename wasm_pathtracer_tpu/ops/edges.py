@@ -200,15 +200,17 @@ def _boundary_test(scene0, sid, x0, d0, n0):
                               rows0[:, 6:9])
     b_tri = jnp.clip(jnp.minimum(jnp.minimum(b0, b1), b2), 0.0, 1.0)
     # aarect: distance to the nearest of the three slab boundaries,
-    # per axis min(|x - bmin|, |bmax - x|), normalized by the box's
-    # max extent (the hit lies ON one face, so that axis contributes
-    # ~0 only at an edge of the box where a second axis is also at
-    # its boundary — take the SECOND-smallest axis distance)
+    # per axis min(|x - bmin|, |bmax - x|), each normalized by ITS OWN
+    # axis extent (a shared max-extent norm would saturate B ~ 0 over
+    # entire faces of elongated boxes like the museum divider rails,
+    # 0.2 x 3 x 40).  The hit lies ON one face, so that axis
+    # contributes ~0; the SECOND-smallest normalized distance -> 0
+    # only near an actual outline edge.
     bmin, bmax = rows0[:, 0:3], rows0[:, 3:6]
     dax = jnp.minimum(jnp.abs(x0 - bmin), jnp.abs(bmax - x0))  # (N,3)
-    ext = jnp.max(jnp.maximum(bmax - bmin, 1e-6), axis=-1)
-    d_sorted = jnp.sort(dax, axis=-1)
-    b_rect = jnp.clip(d_sorted[..., 1] / ext, 0.0, 1.0)
+    ext = jnp.maximum(bmax - bmin, 1e-6)                       # (N,3)
+    d_sorted = jnp.sort(dax / ext, axis=-1)
+    b_rect = jnp.clip(d_sorted[..., 1], 0.0, 1.0)
     # square: chebyshev distance from the outline in the y-plane
     half = jnp.maximum(0.5 * rows0[:, 3], 1e-6)
     dxz = jnp.abs(x0[..., ::2] - rows0[:, 0:3][..., ::2])       # (N,2) |dx|,|dz|

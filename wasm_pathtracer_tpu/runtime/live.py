@@ -231,14 +231,19 @@ right:<select id=rt onchange="st()"><option value=0>NoNEE</option>
 function st(){fetch('/settings?left='+lt.value+'&right='+rt.value+
   '&right_adaptive='+(ra.checked?1:0))}
 // drag-to-pan (reference CanvasElement, render_target.ts:63-149):
-// accumulate mouse deltas; the server reclamps and returns offsets
+// deltas accumulate client-side and drain through ONE in-flight
+// request at a time — per-mousemove fetches would race (out-of-order
+// responses apply stale offsets) and flood the server
 async function pan(url){const r=await(await fetch(url)).json();
   v.style.left=r.x+'px';v.style.top=r.y+'px'}
-let down=false;
+let down=false,pdx=0,pdy=0,panning=false;
+async function flushPan(){if(panning)return;panning=true;
+  try{while(pdx||pdy){const dx=pdx,dy=pdy;pdx=0;pdy=0;
+    await pan('/pan?dx='+dx+'&dy='+dy)}}finally{panning=false}}
 win.addEventListener('mousedown',e=>{down=true;e.preventDefault()});
 document.addEventListener('mouseup',()=>{down=false});
 document.addEventListener('mousemove',e=>{
-  if(down&&(e.buttons&1))pan('/pan?dx='+e.movementX+'&dy='+e.movementY)});
+  if(down&&(e.buttons&1)){pdx+=e.movementX;pdy+=e.movementY;flushPan()}});
 const KEYS={w:'w',a:'a',s:'s',d:'d',ArrowLeft:'left',ArrowRight:'right',
   ArrowUp:'up',ArrowDown:'down',PageUp:'pageup',PageDown:'pagedown'};
 document.addEventListener('keydown',e=>{const k=KEYS[e.key];

@@ -120,8 +120,12 @@ class RenderInstance:
             # (unlike bench.py's multi-million-path queues), so wider
             # wavefronts pay their whole drain tail every step (at
             # lanes == batch/2 the tail is ~50% of the step; measured
-            # 543k vs 843k paths/s on the 128x128 CLI scene)
-            lanes = max(1024, min(settings.regen_lanes, batch // 4))
+            # 543k vs 843k paths/s on the 128x128 CLI scene).  The
+            # 1024 floor applies only to the derived cap; an EXPLICIT
+            # smaller regen_lanes (tests, --lanes) is always honored,
+            # and lanes never exceeds the batch.
+            lanes = min(settings.regen_lanes, batch,
+                        max(1024, batch // 4))
             rid_base = (0x40000000 if self.x0 > 0 or self.y0 > 0 else 0)
 
             # donate the accumulator: it is rebound to the result each
