@@ -291,7 +291,16 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
                            jnp.where(probing, e_b, e_cur))
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
-        done = live & (e_next >= bound)
+        # shadow queries EARLY-ACCEPT: the verdict "occluded" is
+        # monotone — any non-light hit closer than the light proves it
+        # regardless of still-closer hits, so the query need not prove
+        # the closest hit like a primary trace (same predicate the
+        # resolve step tests; radiance is bit-identical, only the
+        # probe-count cost metric can undercount further — the same
+        # contract as the beyond-light pruning documented above)
+        early_occ = shadow & jnp.isfinite(t_best) & \
+            (t_best < st["pend_dist"]) & (sid_best != st["pend_lsid"])
+        done = live & ((e_next >= bound) | early_occ)
 
         # ---- RESOLVE: finished shadow queries --------------------------
         resolve = done & shadow
