@@ -229,11 +229,20 @@ def main():
     res = _Results()
     extras = res.extras
 
-    # -- 1. museum headline (fused megakernel, regenerating wavefront) --
-    scene = scenes.museum()
+    # -- 0. shared scene construction: its own stage, so a failure here
+    # is recorded and later stages each fail with a recorded KeyError
+    # instead of the whole bench dying before the first emit
+    # (ADVICE r04: nothing may run outside a _stage wrapper) ----------
+    shared = {}
 
+    @_stage(res, "setup")
+    def _():
+        shared["scene"] = scenes.museum()
+
+    # -- 1. museum headline (fused megakernel, regenerating wavefront) --
     @_stage(res, "museum")
     def _():
+        scene = shared["scene"]
         prep = trace.prepare(scene, use_fused=on_tpu)
         # queue/lane sweep on the v5e-class chip (r04): large queues
         # amortize the drain tail, and SMALLER lane counts beat larger
@@ -320,10 +329,13 @@ def main():
     # memory-gating note: memory_analysis cannot pre-decide
     # runnability); a compile-helper death or runtime OOM is caught
     # and recorded as the remat-tradeoff datum.
-    prep_g = trace.prepare(scene)
     cam0 = initial_camera(0)
 
     def _bench_backward(Rg, remat, n_iters=5):
+        # scene/prep built here so a failure lands in the calling
+        # stage's failure record (ADVICE r04)
+        scene = shared["scene"]
+        prep_g = trace.prepare(scene)
         gset = settings.replace(early_exit=False, checkpoint_bounces=remat)
         pix = jnp.arange(Rg, dtype=jnp.int32)
         px, py = pix % 512, (pix // 512) % 512
@@ -346,7 +358,8 @@ def main():
             # (observed: HTTP 500 from tpu_compile_helper while laying
             # out the ~20 GB buffer assignment) — that too is the
             # remat-tradeoff datum
-            return None, float("nan"), f"{type(e).__name__}: {e}"[:300]
+            return None, float("nan"), f"{type(e).__name__}: {e}"[:300], \
+                "compile_failed"
         try:
             # informational only: total temp bytes, NOT peak (see the
             # module note) — still the right remat-vs-memory datum
@@ -357,27 +370,30 @@ def main():
             out = grad_step(scene.albedo, cam0, jnp.uint32(0))   # warm
             jax.block_until_ready(out)
         except Exception as e:                  # runtime OOM is a RESULT
-            return None, temp_mb, f"{type(e).__name__}: {e}"[:300]
+            return None, temp_mb, f"{type(e).__name__}: {e}"[:300], \
+                "runtime_failed"
         t0 = time.perf_counter()
         outs = [grad_step(scene.albedo, cam0, jnp.uint32(i))
                 for i in range(1, n_iters + 1)]
         jax.block_until_ready(outs)
-        return n_iters * Rg / (time.perf_counter() - t0), temp_mb, None
+        return n_iters * Rg / (time.perf_counter() - t0), temp_mb, None, None
 
     @_stage(res, "backward_remat")
     def _():
-        rps, mem, err = _bench_backward(262_144, remat=True)
+        rps, mem, err, kind = _bench_backward(262_144, remat=True)
         if mem == mem:                      # NaN is not strict JSON
-            extras["backward_temp_mem_mb"] = round(mem, 1)
+            # XLA total-temp bytes, NOT peak simultaneous allocation
+            # (see module note) — informational remat-tradeoff datum
+            extras["backward_temp_mem_total_mb"] = round(mem, 1)
         if rps is None:
-            extras["backward_remat_oom"] = True
+            extras["backward_remat_failed"] = kind
             extras["backward_remat_error"] = err
         else:
             extras["backward_grad_rays_per_sec"] = round(rps, 1)
 
     @_stage(res, "backward_half_batch")
     def _():
-        rps_h, _, _ = _bench_backward(131_072, remat=True)
+        rps_h, _, _, _ = _bench_backward(131_072, remat=True)
         if rps_h is not None:
             extras["backward_grad_rays_per_sec_half_batch"] = round(rps_h, 1)
 
@@ -402,14 +418,19 @@ def main():
     # datum (r03 lost the whole artifact to this exact stage).
     @_stage(res, "backward_noremat")
     def _():
-        rps_nr, mem_nr, err = _bench_backward(262_144, remat=False)
+        rps_nr, mem_nr, err, kind = _bench_backward(262_144, remat=False)
         if mem_nr == mem_nr:                # NaN is not strict JSON
-            extras["backward_noremat_temp_mem_mb"] = round(mem_nr, 1)
+            extras["backward_noremat_temp_mem_total_mb"] = round(mem_nr, 1)
         if rps_nr is None:
-            extras["backward_noremat_oom"] = True
+            # honest failure taxonomy (r04 review): "compile_failed"
+            # means the tpu_compile_helper died laying out the ~20 GB
+            # buffer assignment (the observed mode), "runtime_failed"
+            # a device OOM during execution — either way the datum is
+            # "does not fit without remat", not literally a runtime OOM
+            extras["backward_noremat_failed"] = kind
             extras["backward_noremat_error"] = err
         else:
-            extras["backward_noremat_oom"] = False
+            extras["backward_noremat_failed"] = False
             extras["backward_noremat_rays_per_sec"] = round(rps_nr, 1)
 
     baseline = 1.0e4  # reference worker initial auto-tune rate (see above)

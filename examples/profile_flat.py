@@ -19,7 +19,7 @@ from wasm_pathtracer_tpu.ops import trace as tr, wavefront, integrator as itg
 from wasm_pathtracer_tpu.utils import rng as rnglib
 import dataclasses
 
-B = 32768
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
 K = 8
 scene = scenes.mesh_scene(scenes.surface_mesh(188))
 prep = bvh.attach_clusters(tr.prepare(scene, use_fused=True), scene)

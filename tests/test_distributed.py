@@ -19,6 +19,7 @@ def test_initialize_single_process_noop():
     assert initialize() == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_measure_scaling_runs():
     scene = scenes.sphere_plane()
     prep = trace.prepare(scene)

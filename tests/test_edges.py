@@ -6,6 +6,7 @@ mechanical invariants: exact value-neutrality (forward renders are
 unchanged), projection inversion, and the occluder clearance geometry.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,7 @@ def test_segment_clearance_sphere():
     assert abs(np.linalg.norm(z[1] - np.array([0, 0, 5.0])) - 1.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_nee_warp_values_and_gradient_gate():
     """nee_warp preserves values exactly and produces a nonzero
     light-geometry velocity only for samples near the occlusion

@@ -8,6 +8,7 @@ occlusion edges) add noise — emission is exactly linear in the
 radiance, albedo nearly so, and both match FD tightly on aggregate.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,7 @@ def _fd_vs_grad(loss, x0, direction, h):
     return ana / len(SEEDS), fd / len(SEEDS)
 
 
+@pytest.mark.slow
 def test_emission_gradient_matches_fd():
     scene, cam, render_mean = _setup()
 
@@ -62,6 +64,7 @@ def test_emission_gradient_matches_fd():
     assert ana > 0  # brighter light -> brighter image
 
 
+@pytest.mark.slow
 def test_albedo_gradient_matches_fd():
     """With the RR keep-chance pinned (rr_min == rr_max) the survival
     decision no longer depends on albedo, so no discrete boundary terms
@@ -90,6 +93,7 @@ def test_albedo_gradient_matches_fd():
     assert abs(ana - fd) <= 0.03 * max(abs(fd), 1e-5) + 1e-4, (ana, fd)
 
 
+@pytest.mark.slow
 def test_albedo_gradient_with_rr_statistically_consistent():
     """Full estimator (adaptive RR): analytic and FD agree in sign and
     magnitude; exact agreement needs many samples because FD picks up
@@ -185,6 +189,7 @@ def _light_scene():
     return scene, cam
 
 
+@pytest.mark.slow
 def test_light_vertex_gradient_matches_fd():
     """Light-GEOMETRY gradients (BASELINE config 4): the NEE solid-angle
     estimator area*cos_o/d^2*cos_i and the sampled point are
@@ -216,6 +221,7 @@ def test_light_vertex_gradient_matches_fd():
     assert abs(ana - fd) <= 0.10 * max(abs(fd), 1e-5), (ana, fd)
 
 
+@pytest.mark.slow
 def test_light_vertex_gradient_with_occluder_matches_fd():
     """Light-geometry gradients UNDER OCCLUSION: lifting the light
     sweeps the sphere's penumbra across the receiving plane — a
@@ -310,6 +316,7 @@ def _occluder_grad_vs_fd(scene, n_seeds=24, h=0.05):
     return np.array(ana), np.array(fd)
 
 
+@pytest.mark.slow
 def test_light_vertex_gradient_with_torus_occluder_matches_fd():
     """The FLAGSHIP occluder family: the museum scene's only occluders
     are tori (27 of them under 108 area lights,
@@ -338,6 +345,7 @@ def test_light_vertex_gradient_with_torus_occluder_matches_fd():
     assert 0.5 < ana.mean() / fd.mean() < 2.0, (ana.mean(), fd.mean())
 
 
+@pytest.mark.slow
 def test_light_vertex_gradient_with_aarect_occluder_improves_on_plain():
     """AARect occluders also get warp clearance now (12 box edges,
     ``edges._box_edges``).  Bound is looser than the torus/sphere
@@ -401,6 +409,7 @@ def _pnee_setup():
     return scene, prep, cam, st, grid
 
 
+@pytest.mark.slow
 def test_pnee_emission_gradient_matches_fd():
     """Config 4: gradients THROUGH the PNEE estimator.  The photon grid
     is a detached importance distribution (ops.photon.sample
@@ -423,6 +432,7 @@ def test_pnee_emission_gradient_matches_fd():
     assert abs(ana - fd) <= 0.02 * max(abs(fd), 1e-6) + 1e-5, (ana, fd)
 
 
+@pytest.mark.slow
 def test_pnee_light_vertex_gradient_matches_fd():
     """Config 4's hardest named leaf: light geometry under PNEE.
     Occluder-free scene for the same reason as the NEE twin above."""
@@ -455,6 +465,7 @@ def test_pnee_light_vertex_gradient_matches_fd():
     assert abs(ana - fd) <= 0.10 * max(abs(fd), 1e-5), (ana, fd)
 
 
+@pytest.mark.slow
 def test_train_step_recovers_light_height():
     """Inverse rendering with light-geometry leaves: stochastic descent
     on a mis-placed area light RECOVERS the target height (BASELINE
@@ -528,6 +539,7 @@ def test_train_step_recovers_light_height():
     assert abs(h1 - h_true) < 0.1, (h0, h1, h_true)
 
 
+@pytest.mark.slow
 def test_train_step_camera_pose_needs_screen_warp():
     """Pose-from-image NEEDS the screen-space silhouette warp
     (``make_train_step(edge_aware_screen=True)``): a uniform EMISSIVE

@@ -29,6 +29,7 @@ def _setup():
     return scene, prep, cam, st
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device():
     scene, prep, cam, st = _setup()
     W = H = 32
@@ -55,6 +56,7 @@ def test_sharded_render_matches_unsharded_integrator():
     assert np.allclose(img, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     scene, prep, cam, st = _setup()
     W = H = 24
@@ -92,6 +94,7 @@ def test_gradients_flow_to_materials_and_camera():
     assert np.isfinite(float(g_cam.rot_x))
 
 
+@pytest.mark.slow
 def test_queue_renderer_sharded_matches_unsharded():
     """The PRODUCTION path (persistent regenerating wavefront) under
     shard_map: sample counts must be EXACT across device counts; the
@@ -123,6 +126,7 @@ def test_queue_renderer_sharded_matches_unsharded():
     assert np.allclose(a1, a8, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_flat_wavefront_sharded_matches_unsharded():
     """The MESH-production path (flat wavefront with fused cluster
     traversal, ``ops/wavefront.py``) under shard_map on a cloud scene:
@@ -158,6 +162,7 @@ def test_flat_wavefront_sharded_matches_unsharded():
     assert np.allclose(a1, a8, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_queue_renderer_sharded_ragged_queue():
     """Queue length not divisible by the device count: the pad sentinel
     must not leak samples into any pixel."""

@@ -150,6 +150,12 @@ class RenderSettings:
     # 8k/32k/64k within -2/-4/-5%) and the flat mesh wavefront (1.21M);
     # wider wavefronts LOSE to cache pressure (64k museum -5%, 64k mesh
     # -28%).  HBM-streamed cluster tables (>131k prims) prefer 8k.
+    # NOTE: the session driver additionally caps the effective lane
+    # count at max(1024, ray_batch_size // 4) — a ONE-SIDED override:
+    # an explicit regen_lanes SMALLER than that cap is always honored,
+    # but a larger value is clamped (the session queue is one batch, so
+    # wider wavefronts pay their whole drain tail every step).  Direct
+    # ``render_queue*`` callers (bench.py) get exactly this value.
     regen_lanes: int = 16384
     # Flattened traversal (``ops.wavefront.render_queue_flat``): cluster
     # probe micro-steps interleave with bounces in one persistent loop,

@@ -220,7 +220,8 @@ def _boundary_test(scene0, sid, x0, d0, n0):
     B = jnp.where(curved, b_curved,
                   jnp.where(pt == int(PrimType.TRIANGLE), b_tri,
                             jnp.where(pt == int(PrimType.AARECT), b_rect,
-                                      b_sq)))
+                                      jnp.where(pt == int(PrimType.SQUARE),
+                                                b_sq, _B_MISS))))
     return jnp.where(sid < 0, _B_MISS, B)
 
 

@@ -407,6 +407,199 @@ def select_blocks(cs, aabbs, o, d, skip_e, skip_c, C: int):
     return e_cur, c_cur, e_b, c_b, out[:, 4]
 
 
+_BIGI = 2 ** 30
+
+
+def pack_dense_tables(prep, scene):
+    """Per-family (P8, 10) tables for the dense (non-clustered)
+    remainder: cols 0-8 the parameter row, col 9 the global shape id
+    as f32 (-1 on padding rows).  Consumed by the fused
+    :func:`select_scan` kernel, which folds the reference's dense
+    prefix (``scene.rs:162-184``) into the slab pass — measured r05:
+    a standalone scan over a 1-primitive remainder costs ~0.3 ms/iter
+    at 16k lanes in either kernel regime, pure per-dispatch overhead.
+
+    Returns (fams, tables): ``fams`` a static tuple of (ptype, n).
+    """
+    import numpy as np
+    fams = []
+    tables = []
+    for name in ("plane", "sphere", "triangle", "torus", "aarect",
+                 "square"):
+        idx = getattr(prep, f"idx_{name}")
+        n = idx.shape[0]
+        if not n:
+            continue
+        fam = int(getattr(PrimType, name.upper()))
+        rows = scene.params[idx][:, :9]
+        sid = idx.astype(jnp.float32)[:, None]
+        tab = jnp.concatenate([rows, sid], axis=1)        # (n, 10)
+        pad = (-n) % 8
+        tab = jnp.pad(tab, ((0, pad), (0, 0)),
+                      constant_values=0.0)
+        if pad:
+            tab = tab.at[n:, 9].set(-1.0)
+        fams.append((fam, n))
+        tables.append(tab)
+    return tuple(fams), tables
+
+
+def dense_scan_ok(prep, max_dense: int = 64) -> bool:
+    """Whether the dense remainder is small enough to fold into the
+    select kernel (beyond it, keep the standalone megakernel scan)."""
+    n = sum(getattr(prep, f"idx_{k}").shape[0] for k in
+            ("plane", "sphere", "triangle", "torus", "aarect", "square"))
+    return 0 < n <= max_dense
+
+
+def _make_select_scan_kernel(C: int, fams):
+    from wasm_pathtracer_tpu.ops import scene_pallas as sp
+
+    t_fns = {
+        int(PrimType.PLANE): sp._t_planes,
+        int(PrimType.SPHERE): sp._t_spheres,
+        int(PrimType.TRIANGLE): sp._t_tris,
+        int(PrimType.TORUS): sp._t_tori,
+        int(PrimType.AARECT): sp._t_aarects,
+        int(PrimType.SQUARE): sp._t_squares,
+    }
+
+    def kernel(rays_ref, aabb_ref, *refs):
+        *dense_refs, out_ref, dense_out_ref = refs
+        rays = rays_ref[0]                                # (LG, 16)
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+        skip_e, skip_c = rays[:, 6:7], rays[:, 7:8]
+
+        # ---- slab + two-candidate lex-min (see _make_select_kernel) --
+        ix, iy, iz = 1.0 / _nz(dx), 1.0 / _nz(dy), 1.0 / _nz(dz)
+        x1 = (aabb_ref[0:1, :] - ox) * ix                 # (LG, Cpad)
+        y1 = (aabb_ref[1:2, :] - oy) * iy
+        z1 = (aabb_ref[2:3, :] - oz) * iz
+        x2 = (aabb_ref[3:4, :] - ox) * ix
+        y2 = (aabb_ref[4:5, :] - oy) * iy
+        z2 = (aabb_ref[5:6, :] - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(x1, x2),
+                                       jnp.minimum(y1, y2)),
+                           jnp.minimum(z1, z2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(x1, x2),
+                                       jnp.maximum(y1, y2)),
+                           jnp.maximum(z1, z2))
+        cid = jax.lax.broadcasted_iota(jnp.int32, tmin.shape, 1) \
+            .astype(jnp.float32)
+        hit = (tmax >= tmin) & (tmax > 0.0) & (cid < float(C))
+        ent = jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.inf)
+
+        unvis = (ent > skip_e) | ((ent == skip_e) & (cid > skip_c))
+        ent = jnp.where(unvis, ent, jnp.inf)
+        e_cur = jnp.min(ent, axis=1, keepdims=True)       # (LG, 1)
+        c_cur = jnp.min(jnp.where(ent == e_cur, cid, _BIGF), axis=1,
+                        keepdims=True)
+        after1 = (ent > e_cur) | ((ent == e_cur) & (cid > c_cur))
+        ent1 = jnp.where(after1, ent, jnp.inf)
+        e_b = jnp.min(ent1, axis=1, keepdims=True)
+        c_b = jnp.min(jnp.where(ent1 == e_b, cid, _BIGF), axis=1,
+                      keepdims=True)
+        after2 = (ent1 > e_b) | ((ent1 == e_b) & (cid > c_b))
+        e_after = jnp.min(jnp.where(after2, ent1, jnp.inf), axis=1,
+                          keepdims=True)
+
+        # ---- dense remainder scan, megakernel orientation (prims on
+        # sublanes, the LG lanes on the lane axis) ---------------------
+        o3 = (rays[:, 0], rays[:, 1], rays[:, 2])         # (LG,) each
+        d3 = (rays[:, 3], rays[:, 4], rays[:, 5])
+        lg = o3[0].shape[0]
+        best_t = jnp.full((1, lg), jnp.inf, jnp.float32)
+        best_sid = jnp.full((1, lg), -1.0, jnp.float32)
+        for (fam, n), ref in zip(fams, dense_refs):
+            t = t_fns[fam](ref, o3, d3)                   # (P8, LG)
+            tmin_f = jnp.min(t, axis=0, keepdims=True)
+            io = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            j = jnp.min(jnp.where(t <= tmin_f, io, _BIGI), axis=0,
+                        keepdims=True)
+            sid_col = ref[:, 9]                           # (P8,)
+            sidv = jnp.sum(jnp.where(io == j, sid_col[:, None], 0.0),
+                           axis=0, keepdims=True)
+            better = tmin_f < best_t
+            best_t = jnp.where(better, tmin_f, best_t)
+            best_sid = jnp.where(better, sidv, best_sid)
+
+        out = jnp.concatenate(
+            [e_cur, c_cur, e_b, c_b, e_after,
+             jnp.zeros((SELECT_GROUP, 3), jnp.float32)], axis=1)
+        out_ref[...] = out
+        # dense results stay LANE-oriented (Mosaic cannot shape-cast a
+        # lane vector into sublane tiles): their own (8, LG) output
+        # block — rows 0/1 = t/sid, replicated to the 8-sublane
+        # minimum; the wrapper reads rows 0 and 1.
+        dense_out_ref[...] = jnp.broadcast_to(
+            jnp.concatenate([best_t, best_sid,
+                             jnp.zeros((6, lg), jnp.float32)], axis=0),
+            dense_out_ref.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("C", "fams"))
+def _select_scan_call(aabbs, rays, dense_tabs, C, fams):
+    NG = rays.shape[0]
+    Cpad = aabbs.shape[1]
+    return pl.pallas_call(
+        _make_select_scan_kernel(C, fams),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, SELECT_GROUP, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(tab.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM) for tab in dense_tabs],
+        ],
+        out_specs=[
+            pl.BlockSpec((SELECT_GROUP, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SELECT_GROUP), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NG * SELECT_GROUP, 8), jnp.float32),
+            jax.ShapeDtypeStruct((NG * 8, SELECT_GROUP), jnp.float32),
+        ],
+    )(rays, aabbs, *dense_tabs)
+
+
+def select_scan(cs, aabbs, dense_fams, dense_tabs, o, d, skip_e, skip_c,
+                C: int):
+    """Fused select + dense-remainder scan: one kernel emits the two
+    lex-min unvisited clusters AND the nearest dense-family hit.
+
+    Returns (e_cur, c_cur, e_b, c_b, e_after, t_dense, sid_dense) —
+    the first five exactly as :func:`select_blocks`; ``t_dense`` is
+    +inf on miss and ``sid_dense`` the winning global shape id (-1 on
+    miss), matching ``trace.trace_scene``'s contract on the dense
+    remainder.
+    """
+    B = o.shape[0]
+    pad = (-B) % SELECT_GROUP
+    rays = jnp.concatenate(
+        [o, d, skip_e[:, None], skip_c.astype(jnp.float32)[:, None],
+         jnp.zeros((B, 8), jnp.float32)], axis=1)
+    rays = jnp.pad(rays, ((0, pad), (0, 0))).reshape(-1, SELECT_GROUP, 16)
+    out, dense = _select_scan_call(aabbs, rays, tuple(dense_tabs), C,
+                                   dense_fams)
+    out = out[:B]
+    NG = rays.shape[0]
+    dense = dense.reshape(NG, 8, SELECT_GROUP)
+    t_d = dense[:, 0, :].reshape(-1)[:B]
+    sid_f = dense[:, 1, :].reshape(-1)[:B]
+    e_cur = out[:, 0]
+    c_cur = jnp.minimum(out[:, 1], C - 1).astype(jnp.int32)
+    e_b = out[:, 2]
+    c_b = jnp.minimum(out[:, 3], C - 1).astype(jnp.int32)
+    sid_d = jnp.where(jnp.isfinite(t_d), sid_f, -1.0).astype(jnp.int32)
+    return e_cur, c_cur, e_b, c_b, out[:, 4], t_d, sid_d
+
+
 def _test_tiles(families, G, rays, tiles):
     """Restack per-lane tiles into (LG, G) parameter rows and run the
     masked type-switched test.
@@ -567,6 +760,106 @@ def probe_blocks(cs, table, o, d, cidx):
     rays, cidx = _pad_args(cs, o, d, cidx)
     t = _probe_call(table, rays, cidx, cs.families)
     return t[:B]
+
+
+def _make_pair_kernel(families, G):
+    def kernel(cidx_ref, rays_ref, state_ref, tab_ref, out_ref):
+        """Both probe rounds of one flat-loop iteration in ONE kernel.
+
+        cidx_ref: (1, 2, LG) SMEM int32 — rows = candidates c1, c2.
+        state_ref: (1, LG, 8) f32 — cols 0 t_best, 1 sid_best (f32),
+        2 e_b (candidate-2 entry), 3 cap (pend_dist for shadow lanes,
+        +inf otherwise), 4 probing1 flag.  The between-rounds bound
+        re-tightening (``bound = min(t_best', cap)``) happens here
+        in-VREG instead of through an XLA round trip, and the rays are
+        loaded once for both rounds.
+        """
+        rays = rays_ref[0]
+        st = state_ref[0]
+        t_best = st[:, 0:1]
+        sid_best = st[:, 1:2]
+        e_b = st[:, 2:3]
+        cap = st[:, 3:4]
+        p1 = st[:, 4:5] > 0.0
+
+        def probe(row):
+            tiles = [tab_ref[pl.ds(cidx_ref[0, row, j], 1), :, :][0]
+                     for j in range(LANE_GROUP)]
+            t, sid_row = _test_tiles(families, G, rays, tiles)
+            return _reduce_min_sid(t, sid_row, G)
+
+        tl1, sv1 = probe(0)
+        better = p1 & (tl1 < t_best)
+        t_best = jnp.where(better, tl1, t_best)
+        sid_best = jnp.where(better, sv1, sid_best)
+        bound = jnp.minimum(t_best, cap)
+        p2 = p1 & (e_b < bound)
+        tl2, sv2 = probe(1)
+        better2 = p2 & (tl2 < t_best)
+        t_best = jnp.where(better2, tl2, t_best)
+        sid_best = jnp.where(better2, sv2, sid_best)
+        out_ref[...] = jnp.concatenate(
+            [t_best, sid_best, p2.astype(jnp.float32),
+             jnp.zeros((LANE_GROUP, 5), jnp.float32)], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("families",))
+def _pair_call(table, rays, state, cidx, families):
+    C, ROWS, G = table.shape
+    NG = cidx.shape[0]
+    return pl.pallas_call(
+        _make_pair_kernel(families, G),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, 2, LANE_GROUP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANE_GROUP, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE_GROUP, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ROWS, G), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LANE_GROUP, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NG * LANE_GROUP, 8),
+                                       jnp.float32),
+    )(cidx, rays, state, table)
+
+
+def probe_pair_min(cs, table, o, d, c1, c2, t_best, sid_best, e_b, cap,
+                   probing1):
+    """Both flat-loop probe rounds fused (VMEM-resident table only).
+
+    Semantics identical to two chained :func:`probe_blocks_min` calls
+    with the ``better``/bound logic between them (the flat loop's
+    probe sequence): candidate 1 is probed under ``probing1``, the
+    bound re-tightens to ``min(t_best', cap)``, and candidate 2 is
+    probed under ``probing1 & (e_b < bound)``.
+
+    Returns (t_best', sid_best' int32, probed2 bool) — ``probed2`` is
+    the round-2 mask the caller uses to advance the lex cursor and the
+    cost counter.
+    """
+    B = o.shape[0]
+    C = cs.blocks.shape[0]
+    pad = (-B) % LANE_GROUP
+    rays = jnp.concatenate([o, d, jnp.zeros((B, 2), jnp.float32)], axis=1)
+    rays = jnp.pad(rays, ((0, pad), (0, 0))).reshape(-1, LANE_GROUP, 8)
+    state = jnp.stack(
+        [t_best, sid_best.astype(jnp.float32), e_b, cap,
+         probing1.astype(jnp.float32)], axis=1)           # (B, 5)
+    state = jnp.concatenate(
+        [state, jnp.zeros((B, 3), jnp.float32)], axis=1)
+    state = jnp.pad(state, ((0, pad), (0, 0))).reshape(-1, LANE_GROUP, 8)
+    cidx = jnp.stack([jnp.clip(c1, 0, C - 1),
+                      jnp.clip(c2, 0, C - 1)], axis=0)    # (2, B)
+    cidx = jnp.pad(cidx, ((0, 0), (0, pad))) \
+        .reshape(2, -1, LANE_GROUP).transpose(1, 0, 2)
+    out = _pair_call(table, rays, state, cidx, cs.families)[:B]
+    return out[:, 0], out[:, 1].astype(jnp.int32), out[:, 2] > 0.0
 
 
 def probe_blocks_min(cs, table, o, d, cidx, stream=None):

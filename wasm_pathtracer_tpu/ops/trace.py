@@ -248,11 +248,24 @@ def shadow_ray(prep: ScenePrep, scene: SceneData, p, point_on_light,
 
     The target light shape itself does not occlude.  Returns
     (occluded mask, cost).
+
+    On the fused forward path this is a DISTINCT any-hit query
+    (``ops.scene_pallas.occluded_fused``) rather than a nearest-hit
+    trace plus comparison — the reference keeps the shadow ray a
+    cheaper query with light exclusion and distance-bounded early-out
+    (``scene.rs:104-133``, ``max_dis`` pruning ``scene.rs:262-288``);
+    the any-hit kernel mirrors that: no argmin/shape-id reduction, and
+    the torus march (the dominant term) early-exits once a ray's
+    occlusion is proven by a cheaper family.
     """
     to_l = point_on_light - p
     dir_len = vm.length(to_l)
     d = to_l / dir_len[..., None]
     o = p + d * epsilon
+    if prep.use_fused and not prep.has_bvh and prep.cluster is None:
+        from wasm_pathtracer_tpu.ops import scene_pallas
+        return scene_pallas.occluded_fused(prep, scene, o, d, dir_len,
+                                           light_sid)
     t, sid, hit, cost = trace_scene(prep, scene, o, d)
     occluded = hit & (t < dir_len) & (sid != light_sid)
     return occluded, cost

@@ -99,6 +99,37 @@ from wasm_pathtracer_tpu.ops import integrator as itg
 from wasm_pathtracer_tpu.utils import rng as rnglib
 from wasm_pathtracer_tpu.utils import vecmath as vm
 
+# Demand gate for the second probe round — measured HARMFUL and kept
+# only as an experiment switch (r05 sweep on mesh70k: gate=16 -> 0.94M
+# paths/s vs 1.24M ungated; mid-flight demand is ~50% so the gate only
+# fires during the drain, where it makes the tail lanes crawl one
+# cluster per iteration: +33% iterations for ~no per-iteration saving).
+# 0 (the default) disables the gate.
+PROBE2_GATE_DEN = 0
+# SCAN kernel choice: honor prep.use_fused unless the dense remainder
+# is below this count (0 = always honor).  Measured r05: the XLA dense
+# path is SLOWER in-loop than the fused megakernel even for ONE dense
+# primitive (2.60 vs 2.47 ms/iter) — the real fix is folding the scan
+# into the select kernel (see select_scan below), not swapping scans.
+SCAN_FUSED_MIN_DENSE = 0
+# In-loop regen: read claimed queue slots via dynamic-slice + rank
+# pick instead of a full-table gather (standalone: 0.18 vs 0.27
+# ms/iter at B=16k; in-loop: within noise — XLA overlaps the gather —
+# kept for the lower op count).
+GEN_CONTIG = True
+# One-kernel select+scan / paired-probe iteration (False = the
+# three-kernel r04 form, kept for A/B and as the streamed fallback).
+# The two fusions toggle independently for in-loop attribution.
+FUSED_SELECT = True
+# The paired-probe kernel is measurably SLOWER in-loop on the v5e
+# (3.6 vs 2.5 ms/iter) even though it matches the two-call form
+# standalone — the regression tracks which of its VMEM inputs depend
+# on the scan outputs (t_best/sid_best/probing real: +1 ms each;
+# e_b/cap real: free), i.e. an XLA input-staging/layout pathology,
+# not kernel cost.  Default off until that is understood.
+FUSED_PAIR = False
+_PAIR_DEBUG_CONST = 0
+
 
 def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
                       camera: Camera, pix_queue, width: int, height: int,
@@ -131,7 +162,18 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
 
     light_tab = itg._light_table(scene)
     packed_rows = tr.pack_hit_rows(scene)    # loop-invariant, built once
-    prep_nc = dataclasses.replace(prep, cluster=None)
+    # SCAN kernel choice: with the big families clustered away, the
+    # dense remainder is usually a handful of shapes (plane + light),
+    # and the fused Pallas megakernel's fixed per-dispatch cost
+    # (~0.29 ms at 16k lanes, measured r05) dwarfs the math — the
+    # plain XLA dense path runs the same tests in ~0.05 ms.  Keep the
+    # megakernel only when enough dense work remains to amortize it.
+    n_dense = sum(getattr(prep, f"idx_{k}").shape[0] for k in
+                  ("plane", "sphere", "triangle", "torus", "aarect",
+                   "square"))
+    scan_fused = prep.use_fused and (SCAN_FUSED_MIN_DENSE == 0
+                                     or n_dense >= SCAN_FUSED_MIN_DENSE)
+    prep_nc = dataclasses.replace(prep, cluster=None, use_fused=scan_fused)
     sid_grid = cs.slot_to_sid.reshape(C, G)
     eps = settings.epsilon
     max_b = jnp.uint32(settings.max_bounces)
@@ -143,15 +185,28 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     use_pp = prep.use_fused and pp.kernel_ok(cs)
     table = pp.pack_table(cs) if use_pp else None
     aabbs = pp.pack_aabbs(cs) if use_pp else None
+    # Fully-fused iteration (r05): the flat loop is a serial CHAIN of
+    # kernel costs (removing any one kernel barely moves ms/iter only
+    # when the removal is rare — the r05 sweep data), so the win is
+    # fewer, bigger kernels: select+dense-scan fused into one
+    # (standalone scan over a 1-primitive remainder cost ~0.3 ms/iter
+    # of pure dispatch), and both probe rounds in one kernel with the
+    # bound re-tightening in-VREG.  VMEM-resident tables only; the
+    # HBM-streamed and XLA regimes keep the 3-kernel form.
+    vmem_ok = use_pp and pp.fits_vmem(cs) and not prep.has_bvh
+    sel_fused = FUSED_SELECT and vmem_ok and pp.dense_scan_ok(prep)
+    pair_fused = FUSED_PAIR and vmem_ok
+    if sel_fused:
+        dense_fams, dense_tabs = pp.pack_dense_tables(prep, scene)
+        n_dense_cost = sum(n for _, n in dense_fams)
 
     # ring capacity: ceil(S/B) guarantees no stranded queue slot (all
     # lanes capped => B*K >= S paths recorded); slack covers imbalance
     K = -(-S // B)
     K += max(2, K // 2)
 
-    def gen(sidx):
-        """Primary ray for queue slot ``sidx`` (clamped; masked later)."""
-        pid = pix_queue[jnp.clip(sidx, 0, S - 1)]
+    def _ray_of(pid, sidx):
+        """Primary ray for pixel ``pid`` / queue slot ``sidx``."""
         rid = jnp.uint32(rid_base) + sidx.astype(jnp.uint32)
         px = pid % width
         py = pid // width
@@ -159,6 +214,27 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         o, d = primary_rays(camera, px, py, jx, jy, width, height,
                             settings.screen_z)
         return pid, rid, o, d
+
+    def gen(sidx):
+        """Primary ray for queue slot ``sidx`` (clamped; masked later)."""
+        return _ray_of(pix_queue[jnp.clip(sidx, 0, S - 1)], sidx)
+
+    # in-loop regen reads the queue WITHOUT a big gather: claimed slots
+    # are the contiguous range [issued, issued + n), so one dynamic
+    # slice pulls the next B queue entries and a rank-indexed pick from
+    # that B-sized block distributes them (measured r05 at B=16k: full
+    # 2.6M-table gather 0.27 ms/iter vs slice+rank 0.18 — gather cost
+    # is per-index, so shrinking the table to one VMEM block is the
+    # only lever).  Padding rows carry the HW drop sentinel and are
+    # never claimed (can requires new_sidx < S).
+    pixq_pad = jnp.concatenate(
+        [pix_queue, jnp.full((B,), HW, jnp.int32)])
+
+    def gen_contig(issued, ranks):
+        block = jax.lax.dynamic_slice(
+            pixq_pad, (jnp.clip(issued, 0, S),), (B,))
+        pid = jnp.minimum(block[jnp.clip(ranks, 0, B - 1)], HW)
+        return _ray_of(pid, issued + ranks)
 
     sidx0 = jnp.arange(B, dtype=jnp.int32)
     pid0, rid0, o0, d0 = gen(sidx0)
@@ -206,13 +282,22 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         shadow = st["shadow"]
 
         # ---- SCAN: dense trace for freshly started traces --------------
+        # (cursor reset happens BEFORE candidate selection so the
+        # fused select sees the fresh-trace cursor)
         scan = live & st["need_scan"]
-        t_d, sid_d, hit_d, c_d = tr.trace_scene(prep_nc, scene, tr_o, tr_d)
+        skip_e = jnp.where(scan, -jnp.inf, st["skip_e"])
+        skip_c = jnp.where(scan, -1, st["skip_c"])
+        if sel_fused:
+            e_cur, c_cur, e_b, c_b, e_aft, t_d, sid_d = pp.select_scan(
+                cs, aabbs, dense_fams, dense_tabs, tr_o, tr_d,
+                skip_e, skip_c, C)
+            c_d = jnp.int32(n_dense_cost)
+        else:
+            t_d, sid_d, _, c_d = tr.trace_scene(prep_nc, scene, tr_o,
+                                                tr_d)
         t_best = jnp.where(scan, t_d, st["t_best"])
         sid_best = jnp.where(scan, sid_d, st["sid_best"])
         cost = st["cost"] + jnp.where(scan, c_d, 0)
-        skip_e = jnp.where(scan, -jnp.inf, st["skip_e"])
-        skip_c = jnp.where(scan, -1, st["skip_c"])
 
         # ---- PROBE x2: the two lex-min unvisited clusters per lane -----
         # entries are recomputed every iteration; "visited" is the lex
@@ -221,7 +306,9 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         # both), and both get probed this iteration — most traces need
         # <= 2 probe rounds, so the (B, C) slab cost runs ~once per
         # trace instead of once per probe
-        if use_pp:
+        if sel_fused:
+            pass                       # candidates came from select_scan
+        elif use_pp:
             e_cur, c_cur, e_b, c_b, e_aft = pp.select_blocks(
                 cs, aabbs, tr_o, tr_d, skip_e, skip_c, C)
         else:
@@ -272,18 +359,63 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         probing = live & (e_cur < bound)
         skip_e = jnp.where(probing, e_cur, skip_e)
         skip_c = jnp.where(probing, c_cur, skip_c)
-        t_best, sid_best, cost = _probe(c_cur, probing, t_best,
-                                        sid_best, cost)
 
-        # second round against the bound tightened by the first —
-        # exactly the lockstep retire loop's pruning sequence
-        bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
-                          t_best)
-        probing2 = probing & (e_b < bound)
-        skip_e = jnp.where(probing2, e_b, skip_e)
-        skip_c = jnp.where(probing2, c_b, skip_c)
-        t_best, sid_best, cost = _probe(c_b, probing2, t_best,
-                                        sid_best, cost)
+        if pair_fused:
+            # both probe rounds + the between-round bound re-tightening
+            # in one kernel; probed2 comes back for the cursor/cost
+            cap = jnp.where(shadow, st["pend_dist"], jnp.inf)
+            if _PAIR_DEBUG_CONST:     # perf-bisect knob: wrong results
+                m = _PAIR_DEBUG_CONST  # bitmask: which inputs stay REAL
+                args = [
+                    t_best if m & 1 else jnp.full((B,), jnp.inf,
+                                                  jnp.float32),
+                    sid_best if m & 2 else jnp.full((B,), -1, jnp.int32),
+                    e_b if m & 4 else jnp.zeros((B,), jnp.float32),
+                    cap if m & 8 else jnp.full((B,), jnp.inf,
+                                               jnp.float32),
+                    probing if m & 16 else jnp.ones((B,), bool),
+                ]
+                t_best2, sid_best2, probing2 = pp.probe_pair_min(
+                    cs, table, tr_o, tr_d, c_cur, c_b, *args)
+                t_best = jnp.minimum(t_best, t_best2)
+                sid_best = jnp.where(t_best2 <= t_best, sid_best2,
+                                     sid_best)
+            else:
+                t_best, sid_best, probing2 = pp.probe_pair_min(
+                    cs, table, tr_o, tr_d, c_cur, c_b, t_best, sid_best,
+                    e_b, cap, probing)
+            skip_e = jnp.where(probing2, e_b, skip_e)
+            skip_c = jnp.where(probing2, c_b, skip_c)
+            cost = cost + jnp.where(probing, G, 0) \
+                + jnp.where(probing2, G, 0)
+        else:
+            t_best, sid_best, cost = _probe(c_cur, probing, t_best,
+                                            sid_best, cost)
+
+            # second round against the bound tightened by the first —
+            # exactly the lockstep retire loop's pruning sequence.
+            # (A demand gate on this round was tried and REVERTED —
+            # see PROBE2_GATE_DEN above.)
+            bound = jnp.where(shadow,
+                              jnp.minimum(t_best, st["pend_dist"]),
+                              t_best)
+            probing2 = probing & (e_b < bound)
+            if PROBE2_GATE_DEN:
+                run2 = jnp.sum(probing2.astype(jnp.int32)) \
+                    * PROBE2_GATE_DEN >= B
+                probing2 = probing2 & run2
+                skip_e = jnp.where(probing2, e_b, skip_e)
+                skip_c = jnp.where(probing2, c_b, skip_c)
+                t_best, sid_best, cost = jax.lax.cond(
+                    run2,
+                    lambda a: _probe(*a),
+                    lambda a: (a[2], a[3], a[4]),
+                    (c_b, probing2, t_best, sid_best, cost))
+            else:
+                skip_e = jnp.where(probing2, e_b, skip_e)
+                skip_c = jnp.where(probing2, c_b, skip_c)
+                t_best, sid_best, cost = _probe(c_b, probing2, t_best,
+                                                sid_best, cost)
 
         # ---- completion ------------------------------------------------
         # next candidate strictly after the (possibly advanced) cursor
@@ -375,7 +507,8 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         can = claimable & (new_sidx < S)
         issued = jnp.minimum(
             st["issued"] + jnp.sum(claimable.astype(jnp.int32)), S)
-        pid_n, rid_n, o_p, d_p = gen(new_sidx)
+        pid_n, rid_n, o_p, d_p = (gen_contig(st["issued"], ranks)
+                                  if GEN_CONTIG else gen(new_sidx))
         canc = can[:, None]
 
         # next traced ray: shadow query > regenerated primary > next bounce
