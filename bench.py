@@ -71,7 +71,7 @@ import numpy as np
 
 
 def _bench_queue(fn, prep, scene, settings, cam, W, H, S, B, n_iters=3,
-                 want_iters=False):
+                 want_iters=False, photon_grid=None):
     import jax
     import jax.numpy as jnp
 
@@ -80,10 +80,11 @@ def _bench_queue(fn, prep, scene, settings, cam, W, H, S, B, n_iters=3,
         pix = jax.random.randint(jax.random.key(seed), (S,), 0, W * H)
         if want_iters:
             acc, cnt, cost, its = fn(prep, scene, settings, cam, pix, W, H,
-                                     seed, B, return_iters=True)
+                                     seed, B, photon_grid=photon_grid,
+                                     return_iters=True)
         else:
             acc, cnt, cost = fn(prep, scene, settings, cam, pix, W, H,
-                                seed, B)
+                                seed, B, photon_grid=photon_grid)
             its = jnp.int32(0)
         return acc.sum(), cnt.sum(), cost.astype(jnp.float32).sum(), its
 
@@ -317,6 +318,65 @@ def main():
         extras["cloud300k_sol_pct"] = round(
             _sol_model_flat(big, prep_big, 8_192, ips), 2)
 
+    # -- 3c. photon emission: the reference's PNEE preprocessing at its
+    # 300k-photon budget (``src/tracer.rs:103-123``; config.py
+    # total_photons).  Photons are COUNTED when they land (diffuse
+    # deposit, ``tracer.rs:109``), so both the landed rate and the shot
+    # rate are reported. -------------------------------------------------
+    @_stage(res, "photon_emission")
+    def _():
+        from wasm_pathtracer_tpu.ops import photon
+        scene = shared["scene"]
+        prep = trace.prepare(scene, use_fused=on_tpu)
+        lo, hi = photon.grid_bounds_for_scene(scene, settings)
+
+        def fresh():
+            return photon.PhotonGrid.create(scene.num_lights, lo, hi,
+                                            settings.photon_grid_res)
+
+        batch = 65_536
+
+        @jax.jit
+        def emit(grid, seed):
+            return photon.emit_photons(grid, prep, scene, settings,
+                                       seed, batch)
+
+        grid = emit(fresh(), jnp.uint32(0))               # warm/compile
+        jax.block_until_ready(grid.bins)
+        grid = fresh()
+        budget = settings.total_photons                   # 300,000
+        t0 = time.perf_counter()
+        shots = 0
+        seed = 1
+        while int(grid.num_photons) < budget and shots < 64 * batch:
+            grid = emit(grid, jnp.uint32(seed))
+            seed += 1
+            shots += batch
+        jax.block_until_ready(grid.bins)
+        dt = time.perf_counter() - t0
+        landed = int(grid.num_photons)
+        extras["photon_landed_per_sec"] = round(landed / dt, 1)
+        extras["photon_shots_per_sec"] = round(shots / dt, 1)
+        extras["photon_budget_seconds"] = round(dt, 3)
+        shared["photon_grid"] = grid
+
+    # -- 3d. museum under PNEE: the reference's flagship estimator
+    # (``src/tracer.rs:103-152``; BASELINE config 4's perf half).  Same
+    # workload as stage 1 with photon-guided light selection (grid
+    # sample + 8-cell pdf gather per NEE event) so the delta vs the
+    # headline is the PNEE overhead. --------------------------------------
+    @_stage(res, "museum_pnee")
+    def _():
+        scene = shared["scene"]
+        grid = shared["photon_grid"]
+        prep = trace.prepare(scene, use_fused=on_tpu)
+        pnee = settings.replace(render_type=RenderType.PNEE)
+        pps, _, _ = _bench_queue(
+            integrator.render_queue, prep, scene, pnee,
+            initial_camera(0), 512, 512, S=2_621_440, B=16_384,
+            want_iters=True, photon_grid=grid)
+        extras["museum_pnee_paths_per_sec"] = round(pps, 1)
+
     # -- 4. backward: grads of the scan-form museum render --------------
     # (XLA dense path: Pallas is forward-only; bounce-checkpointed scan.)
     # BASELINE.md: "backward grad rays/sec measured alongside forward".
@@ -409,6 +469,31 @@ def main():
         traced = sess.compute(2 * 2_097_152)
         dt = time.perf_counter() - t0
         extras["adaptive_1080p_paths_per_sec"] = round(traced / dt, 1)
+
+    # -- 5b. decompose the museum-vs-1080p gap (r04 weak #5): the same
+    # renderer as the headline on (a) a raw full-frame 1080p queue (no
+    # session, no halves, no allocator) and (b) the session WITHOUT the
+    # adaptive allocator (uniform random pixels).  raw -> uniform-session
+    # delta = session/half/step machinery; uniform -> adaptive delta =
+    # the variance-guided allocator itself. ------------------------------
+    @_stage(res, "adaptive_1080p_decomp")
+    def _():
+        from wasm_pathtracer_tpu.runtime.session import Session
+        scene = shared["scene"]
+        prep = trace.prepare(scene, use_fused=on_tpu)
+        pps_raw, _ = _bench_queue(
+            integrator.render_queue, prep, scene, settings,
+            initial_camera(0), 1920, 1080, S=2_097_152, B=16_384)
+        extras["raw_1080p_paths_per_sec"] = round(pps_raw, 1)
+
+        uset = settings.replace(adaptive=False, ray_batch_size=262_144,
+                                regen_lanes=16_384)
+        sess = Session(1920, 1080, scene_id=0, left=uset, right=uset)
+        sess.compute(262_144)
+        t0 = time.perf_counter()
+        traced = sess.compute(2 * 2_097_152)
+        dt = time.perf_counter() - t0
+        extras["uniform_1080p_paths_per_sec"] = round(traced / dt, 1)
 
     # -- 6. backward WITHOUT remat: 8 bounces x 108 lights x 262k rays
     # of residuals — expected to exceed the 16 GB chip.  LAST on

@@ -471,7 +471,8 @@ def attach_bvh(prep, scene, num_bins: int = 16, use_pallas: bool = False):
 def attach_clusters(prep, scene, num_bins: int = 16,
                     group: int | None = None,
                     min_count: int = 512,
-                    families: list | None = None):
+                    families: list | None = None,
+                    exclude_lights: bool = False):
     """Build the cluster-dense structure (``ops.cluster``) over the
     scene's finite primitives: a BVH build supplies the
     spatially-coherent leaf order, then contiguous runs become
@@ -505,6 +506,25 @@ def attach_clusters(prep, scene, num_bins: int = 16,
 
     ids = np.concatenate([np.asarray(getattr(prep, fam_attr[f]))
                           for f in sorted(families)])
+    light_sids = np.asarray(scene.light_shape)
+    kept_dense = {}
+    if exclude_lights and light_sids.size:
+        # Keep emissive shapes OUT of the baked structure: the dense
+        # remainder reads scene.params live, so light-GEOMETRY training
+        # (``parallel.shard.make_train_step(train_lights=True)``) stays
+        # exact — moved lights are traced at their updated rows and
+        # their gradients flow through the live dense gathers, while
+        # the frozen mesh keeps its baked blocks.  Mirrors the
+        # reference's bunny scene, where the two light triangles are
+        # ordinary scene shapes beside the mesh (``scenes.rs:71-111``).
+        is_light = np.isin(ids, light_sids)
+        for f in families:
+            fam_ids = np.asarray(getattr(prep, fam_attr[f]))
+            kept = fam_ids[np.isin(fam_ids, light_sids)]
+            kept_dense[fam_attr[f]] = jnp.asarray(kept.astype(np.int32))
+        ids = ids[~is_light]
+        if ids.size == 0:
+            return prep
     params = np.asarray(scene.params)
     ptypes = np.asarray(scene.ptype)[ids]
     rows = params[ids][:, :9].astype(np.float32)
@@ -519,6 +539,10 @@ def attach_clusters(prep, scene, num_bins: int = 16,
     prim_index = ids[order].astype(np.int32)
     cs = cl.build_clusters(rows[order], ptypes[order], prim_index,
                            group or cl.CLUSTER_SIZE)
+    baked_lights = bool(light_sids.size and
+                        np.isin(light_sids, prim_index).any())
+    cs = dataclasses.replace(cs, has_baked_lights=baked_lights)
     empty = jnp.zeros((0,), jnp.int32)
-    repl = {fam_attr[f]: empty for f in families}
+    repl = {fam_attr[f]: kept_dense.get(fam_attr[f], empty)
+            for f in families}
     return dataclasses.replace(prep, cluster=cs, **repl)

@@ -70,6 +70,13 @@ class ClusterSet:
     families: tuple = _field(metadata=dict(static=True),
                              default=(int(PrimType.TRIANGLE),))
     max_rounds: int = _field(metadata=dict(static=True), default=64)
+    # whether any emissive (light_shape) shape is baked into ``blocks``
+    # — if so, light-geometry training must refuse this prep (updated
+    # light rows would go stale in the baked tables); build with
+    # ``bvh.attach_clusters(..., exclude_lights=True)`` to keep lights
+    # in the live dense remainder instead
+    has_baked_lights: bool = _field(metadata=dict(static=True),
+                                    default=True)
 
 
 def prim_aabbs(rows: np.ndarray, ptypes: np.ndarray):

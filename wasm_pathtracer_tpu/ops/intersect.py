@@ -187,6 +187,7 @@ def rays_vs_tori(o, d, center, big_r, small_r):
     return tori_march(lo, ld, big_r[None], small_r[None])
 
 
+@jax.custom_vjp
 def tori_march(lo, ld, R_, r_):
     """Broadcast-generic torus intersection core.
 
@@ -195,7 +196,21 @@ def tori_march(lo, ld, R_, r_):
     major/minor radii.  Returns (...) distances, inf on miss.  Shared
     by the dense (R, T) sweep above and the cluster block test, where
     each ray carries its own gathered primitive rows (R, G).
+
+    Differentiation is by the IMPLICIT FUNCTION THEOREM (custom_vjp
+    below), not by unrolling the march: the hit distance solves
+    ``sdf(lo + ld*t) = 0``, so ``dt/dtheta = -(df/dtheta)/(df/dt)`` at
+    the root — one sdf VJP instead of 24 march + 4 Newton steps of
+    saved residuals.  The r03 backward OOM dump fingered exactly those
+    residuals (f32[bounces, ..., rays, tori] march carries); with IFT
+    the torus term costs O(1) memory and one extra sdf evaluation in
+    the backward pass, and the gradient is exact at the converged root
+    (the unrolled chain only approximated it through the clipping).
     """
+    return _tori_march_impl(lo, ld, R_, r_)
+
+
+def _tori_march_impl(lo, ld, R_, r_):
     ext = jnp.stack([R_ + r_, r_, R_ + r_], axis=-1) * jnp.ones_like(lo)
     inv_d = 1.0 / _nonzero(ld)
     t1 = (-ext - lo) * inv_d
@@ -250,6 +265,41 @@ def tori_march(lo, ld, R_, r_):
     dist = jnp.abs(sdf(t))
     ok = hit_box & (dist <= 10.0 * _TORUS_TOL) & (t > 0.0) & (t <= t_out + _TORUS_TOL)
     return jnp.where(ok, t, INF)
+
+
+def _tori_march_fwd(lo, ld, R_, r_):
+    t = _tori_march_impl(lo, ld, R_, r_)
+    return t, (t, lo, ld, R_, r_)
+
+
+def _tori_march_bwd(res, ct):
+    """IFT cotangents: ``dt/dtheta = -(df/dtheta) / (df/dt)`` at the
+    root of ``f(t; theta) = sdf(lo + ld*t, R_, r_)``.  Misses carry
+    zero cotangent (the inf branch is constant)."""
+    t, lo, ld, R_, r_ = res
+    fin = jnp.isfinite(t)
+    ts = jnp.where(fin, t, 1.0)
+    ct = jnp.where(fin, ct, 0.0)
+
+    # df/dt: the analytic directional derivative (same formula as the
+    # Newton polish's dsdf)
+    p = lo + ld * ts[..., None]
+    rho = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 2] ** 2, 1e-24))
+    qx = rho - R_
+    ql = jnp.sqrt(jnp.maximum(qx * qx + p[..., 1] ** 2, 1e-24))
+    drho = (p[..., 0] * ld[..., 0] + p[..., 2] * ld[..., 2]) / rho
+    ft = (qx * drho + p[..., 1] * ld[..., 1]) / ql
+    ft = jnp.where(jnp.abs(ft) < 1e-6,
+                   jnp.where(ft < 0, -1e-6, 1e-6), ft)
+
+    def f(lo_, ld_, Rb, rb):
+        return _torus_sdf(lo_ + ld_ * ts[..., None], Rb, rb)
+
+    _, vjp = jax.vjp(f, lo, ld, R_, r_)
+    return vjp(-ct / ft)
+
+
+tori_march.defvjp(_tori_march_fwd, _tori_march_bwd)
 
 
 def torus_is_inside(o_local, big_r, small_r):

@@ -763,24 +763,22 @@ def probe_blocks(cs, table, o, d, cidx):
 
 
 def _make_pair_kernel(families, G):
-    def kernel(cidx_ref, rays_ref, state_ref, tab_ref, out_ref):
+    def kernel(cidx_ref, rays_ref, tab_ref, out_ref):
         """Both probe rounds of one flat-loop iteration in ONE kernel.
 
         cidx_ref: (1, 2, LG) SMEM int32 — rows = candidates c1, c2.
-        state_ref: (1, LG, 8) f32 — cols 0 t_best, 1 sid_best (f32),
-        2 e_b (candidate-2 entry), 3 cap (pend_dist for shadow lanes,
-        +inf otherwise), 4 probing1 flag.  The between-rounds bound
-        re-tightening (``bound = min(t_best', cap)``) happens here
-        in-VREG instead of through an XLA round trip, and the rays are
-        loaded once for both rounds.
+        Outputs the RAW per-round reductions [t1, sid1, t2, sid2]; all
+        masking/bound logic stays in XLA exactly as in the two-call
+        form.  STATELESS by design: an earlier variant took
+        (t_best, sid_best, probing) as VMEM inputs and did the
+        between-round bound logic in-kernel — measured +1 ms/iter per
+        FEEDBACK input (a kernel output routed through the loop carry
+        back into the same kernel's VMEM input forces a per-iteration
+        staging/relayout; inputs with no feedback, e_b/cap, were
+        free).  Raw outputs keep the feedback path in fused XLA ops
+        where it costs nothing.
         """
         rays = rays_ref[0]
-        st = state_ref[0]
-        t_best = st[:, 0:1]
-        sid_best = st[:, 1:2]
-        e_b = st[:, 2:3]
-        cap = st[:, 3:4]
-        p1 = st[:, 4:5] > 0.0
 
         def probe(row):
             tiles = [tab_ref[pl.ds(cidx_ref[0, row, j], 1), :, :][0]
@@ -789,24 +787,16 @@ def _make_pair_kernel(families, G):
             return _reduce_min_sid(t, sid_row, G)
 
         tl1, sv1 = probe(0)
-        better = p1 & (tl1 < t_best)
-        t_best = jnp.where(better, tl1, t_best)
-        sid_best = jnp.where(better, sv1, sid_best)
-        bound = jnp.minimum(t_best, cap)
-        p2 = p1 & (e_b < bound)
         tl2, sv2 = probe(1)
-        better2 = p2 & (tl2 < t_best)
-        t_best = jnp.where(better2, tl2, t_best)
-        sid_best = jnp.where(better2, sv2, sid_best)
         out_ref[...] = jnp.concatenate(
-            [t_best, sid_best, p2.astype(jnp.float32),
-             jnp.zeros((LANE_GROUP, 5), jnp.float32)], axis=1)
+            [tl1, sv1, tl2, sv2,
+             jnp.zeros((LANE_GROUP, 4), jnp.float32)], axis=1)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("families",))
-def _pair_call(table, rays, state, cidx, families):
+def _pair_call(table, rays, cidx, families):
     C, ROWS, G = table.shape
     NG = cidx.shape[0]
     return pl.pallas_call(
@@ -817,8 +807,6 @@ def _pair_call(table, rays, state, cidx, families):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, LANE_GROUP, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE_GROUP, 8), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, ROWS, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -826,40 +814,29 @@ def _pair_call(table, rays, state, cidx, families):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NG * LANE_GROUP, 8),
                                        jnp.float32),
-    )(cidx, rays, state, table)
+    )(cidx, rays, table)
 
 
-def probe_pair_min(cs, table, o, d, c1, c2, t_best, sid_best, e_b, cap,
-                   probing1):
-    """Both flat-loop probe rounds fused (VMEM-resident table only).
+def probe_pair_raw(cs, table, o, d, c1, c2):
+    """Both flat-loop probe rounds in one kernel (VMEM table only).
 
-    Semantics identical to two chained :func:`probe_blocks_min` calls
-    with the ``better``/bound logic between them (the flat loop's
-    probe sequence): candidate 1 is probed under ``probing1``, the
-    bound re-tightens to ``min(t_best', cap)``, and candidate 2 is
-    probed under ``probing1 & (e_b < bound)``.
-
-    Returns (t_best', sid_best' int32, probed2 bool) — ``probed2`` is
-    the round-2 mask the caller uses to advance the lex cursor and the
-    cost counter.
+    Each round is exactly :func:`probe_blocks_min` on its candidate;
+    one launch shares the ray staging.  Returns (t1, sid1, t2, sid2)
+    with sids int32 (first-minimum tie-break, garbage-but-deterministic
+    on miss) — the caller applies the ``better``/bound masking in XLA.
     """
     B = o.shape[0]
     C = cs.blocks.shape[0]
     pad = (-B) % LANE_GROUP
     rays = jnp.concatenate([o, d, jnp.zeros((B, 2), jnp.float32)], axis=1)
     rays = jnp.pad(rays, ((0, pad), (0, 0))).reshape(-1, LANE_GROUP, 8)
-    state = jnp.stack(
-        [t_best, sid_best.astype(jnp.float32), e_b, cap,
-         probing1.astype(jnp.float32)], axis=1)           # (B, 5)
-    state = jnp.concatenate(
-        [state, jnp.zeros((B, 3), jnp.float32)], axis=1)
-    state = jnp.pad(state, ((0, pad), (0, 0))).reshape(-1, LANE_GROUP, 8)
     cidx = jnp.stack([jnp.clip(c1, 0, C - 1),
                       jnp.clip(c2, 0, C - 1)], axis=0)    # (2, B)
     cidx = jnp.pad(cidx, ((0, 0), (0, pad))) \
         .reshape(2, -1, LANE_GROUP).transpose(1, 0, 2)
-    out = _pair_call(table, rays, state, cidx, cs.families)[:B]
-    return out[:, 0], out[:, 1].astype(jnp.int32), out[:, 2] > 0.0
+    out = _pair_call(table, rays, cidx, cs.families)[:B]
+    return (out[:, 0], out[:, 1].astype(jnp.int32),
+            out[:, 2], out[:, 3].astype(jnp.int32))
 
 
 def probe_blocks_min(cs, table, o, d, cidx, stream=None):

@@ -46,6 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = 512
 SLOT_BITS = 20
+# occlusion kernel: early-exit the torus march via while_loop once all
+# entries are frozen/converged (vs the fixed 24-step fori).  Measured
+# r05 on the museum queue (B=16k): while-march 5.23 M paths/s vs
+# fori 5.52 — the per-step scalar any() reduction stalls the VPU
+# pipeline more than the saved steps are worth on incoherent
+# (32 tori x 512 rays) blocks, where one grazing entry keeps the
+# block marching anyway.  Default off; kept for coherent workloads.
+OCC_EARLY_EXIT = False
 _SLOT_MASK = (1 << SLOT_BITS) - 1
 _BIG = 2 ** 30   # plain int: a jnp scalar would be a captured kernel constant
 _EPS_SLACK = 0.1 * 2e-4          # triangle.rs:44
@@ -227,18 +235,23 @@ def _torus_setup(tor_ref, o3, d3):
     return t_in, t_out, hit_box, sdf, dsdf
 
 
-def _t_tori(tor_ref, o3, d3, freeze_row=None):
+def _t_tori(tor_ref, o3, d3, freeze_row=None, early_exit=False):
     """Tori: over-relaxed SDF march + Newton polish, identical to
     ``ops.intersect.rays_vs_tori`` (kept in lockstep so the fused and
     XLA paths agree bit-for-bit up to fma rounding).
 
     ``freeze_row``: optional (1, RB) bool — entries of rays whose
     occlusion verdict is already proven; their march freezes at the
-    start and the whole loop EARLY-EXITS (``lax.while_loop`` with a
-    scalar any() cond) once every entry of the block is frozen,
-    converged, or out of its slab interval.  Frozen entries report
-    miss; non-frozen entries' results are bit-identical to the fixed
-    24-step fori march (a frozen/converged entry never advances).
+    start.  Frozen entries report miss; non-frozen entries' results
+    are bit-identical (a frozen/converged entry never advances).
+
+    ``early_exit``: run the march as a ``lax.while_loop`` with a
+    scalar any() cond, exiting once every entry of the block is
+    frozen, converged, or out of its slab interval.  Only worth it
+    when many entries freeze early (the occlusion kernel); for the
+    NEAREST kernel the per-step any() reduction costs MORE than the
+    saved steps (measured r05 at 16k lanes: 0.68 vs 0.44 ms per
+    full-width trace), so it defaults off.
     """
     t_in, t_out, hit_box, sdf, dsdf = _torus_setup(tor_ref, o3, d3)
 
@@ -253,25 +266,28 @@ def _t_tori(tor_ref, o3, d3, freeze_row=None):
 
     # Mosaic cannot legalize loops with vector-bool carries; the
     # relaxation flag rides as f32 (1.0 / 0.0)
-    def march_body(st):
-        it, t, dist, relaxed = st
+    def march(t, dist, relaxed):
         step = dist * (1.0 + (_TORUS_OMEGA - 1.0) * relaxed)
         t2_ = t + jnp.where(can_step(t, dist), step, 0.0)
         d2 = sign0 * sdf(t2_)
         accept = (step <= _TORUS_TOL) | (d2 + dist >= step)
-        return (it + 1,
-                jnp.where(accept, t2_, t),
+        return (jnp.where(accept, t2_, t),
                 jnp.where(accept, d2, dist),
                 accept.astype(jnp.float32))
 
-    def march_cond(st):
-        it, t, dist, _ = st
-        return (it < _TORUS_STEPS) & jnp.any(can_step(t, dist))
+    init = (t, sign0 * sdf(t), jnp.ones(t.shape, jnp.float32))
+    if early_exit:
+        def march_cond(st):
+            it, t, dist, _ = st
+            return (it < _TORUS_STEPS) & jnp.any(can_step(t, dist))
 
-    _, t, _, _ = jax.lax.while_loop(
-        march_cond, march_body,
-        (jnp.int32(0), t, sign0 * sdf(t),
-         jnp.ones(t.shape, jnp.float32)))
+        _, t, _, _ = jax.lax.while_loop(
+            march_cond,
+            lambda st: (st[0] + 1,) + march(*st[1:]),
+            (jnp.int32(0),) + init)
+    else:
+        t, _, _ = jax.lax.fori_loop(
+            0, _TORUS_STEPS, lambda _, st: march(*st), init)
 
     def newton(_, t):
         f = sign0 * sdf(t)
@@ -417,7 +433,8 @@ def _make_occ_kernel(n_plane, n_sphere, n_tri, n_torus, n_aarect,
             occ_pre = (t_non < dist) & (t_non < t_exc)
             freeze = occ_pre & (
                 (excl >> SLOT_BITS) != jnp.int32(FAM_TORUS))
-            t = _t_tori(tor_ref, o3, d3, freeze_row=freeze)
+            t = _t_tori(tor_ref, o3, d3, freeze_row=freeze,
+                        early_exit=OCC_EARLY_EXIT)
             t_non, t_exc = fold(t, FAM_TORUS)
 
         occ = (t_non < dist) & (t_non < t_exc)

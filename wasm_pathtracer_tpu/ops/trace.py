@@ -230,7 +230,21 @@ def _merge_cluster(prep: ScenePrep, o, d, best_t, best_id, cost):
     and finalize the (t, sid, hit, cost) contract."""
     if prep.cluster is not None:
         from wasm_pathtracer_tpu.ops import cluster as cl
-        t, slot, rounds = cl.trace_clusters(prep.cluster, o, d, best_t)
+        # the cluster structure covers FROZEN baked geometry, and its
+        # traversal while_loop has no reverse-mode rule — detach ALL
+        # its inputs so it stays off the differentiation path.  This
+        # is exact for the supported gradient modes (the train-step
+        # guard, parallel/shard.py): differentiable geometry (lights)
+        # lives in the live dense remainder (attach_clusters
+        # exclude_lights=True); paths terminate at emissive hits, so
+        # light tangents reach ray origins/directions only through
+        # shadow rays, whose cluster-side verdict is discrete; and
+        # camera training (whose tangents would ride o/d into mesh
+        # hit distances) requires a dense prep.  The running best
+        # enters only as a pruning bound — discrete accept/visit.
+        sg = jax.lax.stop_gradient
+        t, slot, rounds = cl.trace_clusters(
+            prep.cluster, sg(o), sg(d), sg(best_t))
         hit_cl = slot >= 0
         sid = prep.cluster.slot_to_sid[jnp.maximum(slot, 0)]
         sid = jnp.where(hit_cl, sid, -1)

@@ -121,14 +121,7 @@ GEN_CONTIG = True
 # three-kernel r04 form, kept for A/B and as the streamed fallback).
 # The two fusions toggle independently for in-loop attribution.
 FUSED_SELECT = True
-# The paired-probe kernel is measurably SLOWER in-loop on the v5e
-# (3.6 vs 2.5 ms/iter) even though it matches the two-call form
-# standalone — the regression tracks which of its VMEM inputs depend
-# on the scan outputs (t_best/sid_best/probing real: +1 ms each;
-# e_b/cap real: free), i.e. an XLA input-staging/layout pathology,
-# not kernel cost.  Default off until that is understood.
-FUSED_PAIR = False
-_PAIR_DEBUG_CONST = 0
+FUSED_PAIR = True
 
 
 def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
@@ -361,33 +354,26 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         skip_c = jnp.where(probing, c_cur, skip_c)
 
         if pair_fused:
-            # both probe rounds + the between-round bound re-tightening
-            # in one kernel; probed2 comes back for the cursor/cost
-            cap = jnp.where(shadow, st["pend_dist"], jnp.inf)
-            if _PAIR_DEBUG_CONST:     # perf-bisect knob: wrong results
-                m = _PAIR_DEBUG_CONST  # bitmask: which inputs stay REAL
-                args = [
-                    t_best if m & 1 else jnp.full((B,), jnp.inf,
-                                                  jnp.float32),
-                    sid_best if m & 2 else jnp.full((B,), -1, jnp.int32),
-                    e_b if m & 4 else jnp.zeros((B,), jnp.float32),
-                    cap if m & 8 else jnp.full((B,), jnp.inf,
-                                               jnp.float32),
-                    probing if m & 16 else jnp.ones((B,), bool),
-                ]
-                t_best2, sid_best2, probing2 = pp.probe_pair_min(
-                    cs, table, tr_o, tr_d, c_cur, c_b, *args)
-                t_best = jnp.minimum(t_best, t_best2)
-                sid_best = jnp.where(t_best2 <= t_best, sid_best2,
-                                     sid_best)
-            else:
-                t_best, sid_best, probing2 = pp.probe_pair_min(
-                    cs, table, tr_o, tr_d, c_cur, c_b, t_best, sid_best,
-                    e_b, cap, probing)
+            # both probe rounds in one kernel (raw reductions); the
+            # masking/bound logic stays in XLA exactly as the two-call
+            # form, so the kernel has NO feedback inputs (see
+            # probe_pair_raw's docstring for why that matters)
+            tl1, sv1, tl2, sv2 = pp.probe_pair_raw(
+                cs, table, tr_o, tr_d, c_cur, c_b)
+            better = probing & (tl1 < t_best)
+            t_best = jnp.where(better, tl1, t_best)
+            sid_best = jnp.where(better, sv1, sid_best)
+            cost = cost + jnp.where(probing, G, 0)
+            bound = jnp.where(shadow,
+                              jnp.minimum(t_best, st["pend_dist"]),
+                              t_best)
+            probing2 = probing & (e_b < bound)
             skip_e = jnp.where(probing2, e_b, skip_e)
             skip_c = jnp.where(probing2, c_b, skip_c)
-            cost = cost + jnp.where(probing, G, 0) \
-                + jnp.where(probing2, G, 0)
+            better2 = probing2 & (tl2 < t_best)
+            t_best = jnp.where(better2, tl2, t_best)
+            sid_best = jnp.where(better2, sv2, sid_best)
+            cost = cost + jnp.where(probing2, G, 0)
         else:
             t_best, sid_best, cost = _probe(c_cur, probing, t_best,
                                             sid_best, cost)

@@ -240,15 +240,35 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
         raise ValueError("edge_aware_screen=True requires the dense "
                          "differentiable trace path (no BVH/cluster/"
                          "fused/Pallas prep)")
-    if train_lights and (prep.has_bvh or prep.cluster is not None):
-        # BVH / cluster preps carry BAKED triangle geometry
-        # (bvh_tri_rows, cluster.blocks): intersections and occlusion
-        # would silently use stale light positions while the NEE
-        # estimator uses the updated rows.  Light-geometry training
-        # requires a dense prep (trace.prepare without attach_bvh /
-        # attach_clusters), whose traces read scene.params live.
-        raise ValueError("train_lights=True requires a dense ScenePrep "
-                         "(no attached BVH or cluster structure)")
+    if train_lights and prep.has_bvh:
+        # A BVH prep carries BAKED triangle geometry (bvh_tri_rows):
+        # intersections and occlusion would silently use stale light
+        # positions while the NEE estimator uses the updated rows.
+        raise ValueError("train_lights=True requires a dense or "
+                         "cluster ScenePrep (no attached BVH)")
+    if train_lights and prep.cluster is not None \
+            and prep.cluster.has_baked_lights:
+        # Same staleness hazard when the LIGHTS themselves are baked
+        # into cluster.blocks.  Mesh-scale light training works when
+        # the structure was built with the lights kept in the live
+        # dense remainder: attach_clusters(..., exclude_lights=True).
+        # The frozen mesh stays baked; the cluster walk's pruning
+        # bound is detached (ops/trace.py::_merge_cluster), so the
+        # non-reverse-differentiable while_loop stays off the AD path.
+        raise ValueError(
+            "train_lights=True with a cluster prep requires the lights "
+            "OUT of the baked tables — rebuild with "
+            "bvh.attach_clusters(..., exclude_lights=True)")
+    if train_camera and prep.cluster is not None:
+        # camera tangents ride the ray origins/directions INTO the
+        # cluster walk's while_loop, which has no reverse-mode rule;
+        # pose training keeps the dense prep (where the whole trace is
+        # a reverse-differentiable scan)
+        raise ValueError("train_camera=True requires a dense ScenePrep "
+                         "(the cluster traversal while_loop is not "
+                         "reverse-differentiable); pass "
+                         "train_camera=False for mesh-scale light/"
+                         "material training")
     n_dev = mesh.devices.size
     n_pix = width * height
     n_pad = _pad_to(n_pix, n_dev * 8)
@@ -314,9 +334,18 @@ def make_train_step(mesh: Mesh, prep: trace.ScenePrep,
             leaves["emission"] = scene_s.emission
         if train_lights:
             leaves["light_rows"] = scene_s.params[scene_s.light_shape]
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            leaves, camera_s)
-        g_leaves, g_cam = grads
+        if train_camera:
+            loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                leaves, camera_s)
+            g_leaves, g_cam = grads
+        else:
+            # do NOT differentiate w.r.t. the camera when pose is
+            # frozen: camera tangents would ride the ray origins into
+            # the (non-reverse-differentiable) cluster walk even
+            # though the gradient is discarded
+            loss, g_leaves = jax.value_and_grad(loss_fn, argnums=0)(
+                leaves, camera_s)
+            g_cam = jax.tree.map(jnp.zeros_like, camera_s)
         # gradient all-reduce over the ray shards (ICI psum)
         g_leaves = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), g_leaves)
         g_cam = jax.tree.map(lambda g: jax.lax.psum(g, "rays"), g_cam)
