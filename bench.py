@@ -23,11 +23,17 @@ path, ``src/tracer.rs:99-123``), including all bounce and shadow rays.
     "backward grad rays/sec measured alongside forward"): 262,144
     rays x 5 iterations with per-bounce rematerialization, plus
     half-batch and no-remat variants and XLA-reported gradient
-    temp memory.  The no-remat variant is EXPECTED to exceed HBM on a
-    16 GB chip (8 bounces x 108 lights x 262k rays of residuals); it
-    runs LAST, its execution is wrapped so an OOM (at run time or in
-    the compile helper) is recorded as a *result*
-    (``backward_noremat_oom`` + temp size + error head) — the
+    temp memory.  r05: the torus march differentiates by implicit
+    function theorem (``ops/intersect.py::tori_march`` custom_vjp) —
+    one sdf VJP at the root instead of 24+4 unrolled steps of saved
+    residuals — lifting this number 117k -> ~167k rays/s; the
+    throughput DECLINES with batch size for forward and backward
+    alike (working-set effect; see ``examples/profile_backward.py``'s
+    two-sided sweep), so batch is always reported alongside.  The
+    no-remat variant may still exceed the 16 GB chip; it runs LAST,
+    its execution is wrapped so a failure (runtime OOM or
+    compile-helper death) is recorded as a *result*
+    (``backward_noremat_failed`` + temp size + error head) — the
     remat-tradeoff datum, not a crash.  See the memory-gating note
     below for why ``memory_analysis()`` cannot pre-decide this.
   - ``adaptive_1080p_paths_per_sec``: 1920x1080 variance-guided

@@ -149,6 +149,62 @@ def main():
 
     out["workloads"]["cloud2k_flat"] = measure_scaling(run_flat, counts)
 
+    # 3. the r04 queue-vs-flat differential (VERDICT r05 ask #5):
+    # at 8 devices the queue held aggregate 0.82 while flat fell to
+    # 0.43 under identical host oversubscription.  Candidate cause:
+    # FIXED lanes-per-device vs 8x-smaller shards — every flat
+    # iteration costs ~full lane width regardless of live lanes (the
+    # (B, C) slab + (B, G) probes run dense), so when a shard only has
+    # a few paths per lane, the drain tail (full-width iterations
+    # retiring the last stragglers) stops amortizing.  The sweep below
+    # pins it: if smaller per-device wavefronts recover the aggregate,
+    # the differential is a lane-sizing artifact, not program overhead.
+    import time as _time
+    from wasm_pathtracer_tpu.parallel.shard import make_ray_mesh
+    n8 = min(8, n_dev)
+    sweep = {}
+    if n8 >= 2:
+        mesh8 = make_ray_mesh(jax.devices()[:n8])
+        for lanes in (2048, 4096, 8192, 16384):
+            def run_flat_l(seed, lanes=lanes):
+                acc, cnt, _ = render_queue_flat_sharded(
+                    mesh8, prep_c, cloud, st, cam_c, pix, W, H, seed,
+                    lanes)
+                return acc
+            o_ = run_flat_l(jnp.uint32(0))
+            jax.block_until_ready(o_)
+            t0 = _time.perf_counter()
+            for i in range(3):
+                o_ = run_flat_l(jnp.uint32(1 + i))
+            jax.block_until_ready(o_)
+            sweep[str(lanes)] = round((_time.perf_counter() - t0) / 3, 4)
+        out["flat_lane_sweep_n8_seconds_per_frame"] = sweep
+
+    # collective census: the compiled HLOs of both production paths at
+    # n=8 — the differential cannot be collectives if the counts match
+    def _collectives(fn):
+        try:
+            import jax as _jax
+            lowered = _jax.jit(fn).lower(jnp.uint32(0))
+            txt = lowered.compile().as_text()
+        except Exception as e:  # noqa: BLE001
+            return {"error": str(e)[:120]}
+        return {k: txt.count(k) for k in
+                ("all-reduce", "all-gather", "reduce-scatter",
+                 "collective-permute")}
+    if n8 >= 2:
+        mesh8 = make_ray_mesh(jax.devices()[:n8])
+        out["collectives_n8"] = {
+            "queue": _collectives(
+                lambda s: render_queue_sharded(
+                    mesh8, prep, scene, st, cam, pix, W, H, s,
+                    args.lanes)[0]),
+            "flat": _collectives(
+                lambda s: render_queue_flat_sharded(
+                    mesh8, prep_c, cloud, st, cam_c, pix, W, H, s,
+                    args.lanes)[0]),
+        }
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

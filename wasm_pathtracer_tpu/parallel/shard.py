@@ -109,6 +109,15 @@ def _queue_sharded(renderer, mesh: Mesh, prep: trace.ScenePrep, scene,
     pad = _pad_to(max(S, 1), n_dev) - S
     pixq = jnp.pad(pix_queue, (0, pad), constant_values=width * height)
     shard = pixq.shape[0] // n_dev
+    # ONE-SIDED lane clamp (same rule as the session driver): a
+    # persistent-wavefront iteration costs ~full lane width regardless
+    # of live lanes, so when the per-device shard shrinks (more
+    # devices, same queue) a fixed wide wavefront pays its whole drain
+    # tail at every device count — the r04 SCALING flat-vs-queue
+    # differential (0.43 vs 0.82 aggregate at 8 virtual devices) was
+    # exactly this lane-sizing artifact.  Explicit SMALLER values are
+    # honored; lane width never exceeds max(1024, shard/4).
+    lanes_per_device = min(lanes_per_device, max(1024, shard // 4))
 
     @functools.partial(
         shard_map, mesh=mesh,
