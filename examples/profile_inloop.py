@@ -111,11 +111,19 @@ def museum_strip(B=16_384, NIT=128, S=2_621_440):
                     st["absorb"], slot0, st["rid"], seed, t, sid, hit,
                     packed_rows=packed_rows)
             else:
+                # fake shade MUST consume the trace outputs (t, sid,
+                # hit) or XLA dead-codes the trace kernel entirely —
+                # its cost counter alone is shape-static
                 u = rnglib.uniform3(seed, st["rid"], slot0)[0]
-                alive2 = was & (u > 0.4)
-                carry = (o, d, st["tp"], st["col"] + 0.01, alive2,
-                         st["hdb"], st["absorb"])
-                req = dict(need=was, p_from=o, p_to=o + 1.0,
+                alive2 = was & (u > 0.4) & hit
+                tconsume = 1e-9 * (jnp.where(hit, t, 0.0)
+                                   + sid.astype(jnp.float32))
+                carry = (o, d, st["tp"],
+                         st["col"] + 0.01 + tconsume[:, None],
+                         alive2, st["hdb"], st["absorb"])
+                req = dict(need=was, p_from=o,
+                           p_to=o + d * jnp.where(hit, t,
+                                                  1.0)[:, None] + 1.0,
                            light_sid=sid,
                            contrib=jnp.ones((B, 3), jnp.float32))
             o, d, tp, col, alive, hdb, absorb = carry
@@ -125,7 +133,7 @@ def museum_strip(B=16_384, NIT=128, S=2_621_440):
                     req["light_sid"], settings.epsilon)
                 step_cost = step_cost + jnp.where(req["need"], sc2, 0)
                 col = col + jnp.where((req["need"] & ~occluded)[:, None],
-                                      req["contrib"] * 0.0, 0.0)
+                                      req["contrib"], 0.0)
             cost = st["cost"] + step_cost
             bounce = st["bounce"] + jnp.uint32(1)
             done = was & (~alive |

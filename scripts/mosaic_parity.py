@@ -197,10 +197,79 @@ def main():
            and rad_err <= 1e-3, count_eq=bool(cnt_eq),
            cost_eq=bool(cost_eq), max_rad_err=rad_err)
 
+    # -- 6. fused select+dense-scan kernel (r05) vs select + XLA scan --
+    dense_fams, dense_tabs = pp.pack_dense_tables(prep_m, mesh)
+    e2, c2, eb2, cb2, ea2, t_d, sid_d = jax.jit(
+        lambda o, d, se, sc: pp.select_scan(
+            cs, aabbs, dense_fams, dense_tabs, o, d, se, sc, C)
+    )(o, d, skip_e, skip_c)
+    prep_nc = dataclasses.replace(prep_m, cluster=None, use_fused=False)
+    t_dx, sid_dx, hit_dx, _ = jax.jit(
+        lambda o, d: trace.trace_scene(prep_nc, mesh, o, d))(o, d)
+    find = np.asarray(hit_dx)
+    scan_ok = ((np.asarray(e2) == np.asarray(e0)).all()
+               and (np.asarray(eb2) == np.asarray(eb0)).all()
+               and (np.asarray(ea2) == np.asarray(ea0)).all()
+               and (np.isfinite(np.asarray(t_d)) == find).all()
+               and np.allclose(np.asarray(t_d)[find],
+                               np.asarray(t_dx)[find], atol=1e-5)
+               and (np.asarray(sid_d)[find]
+                    == np.asarray(sid_dx)[find]).all())
+    record("select_scan_vs_xla", scan_ok,
+           n_dense=sum(n for _, n in dense_fams))
+
+    # -- 7. paired-probe kernel (r05) vs two probe_blocks_min calls ----
+    cidx2 = (cidx * 7 + 3) % C
+    tp1, sp1, tp2, sp2 = jax.jit(
+        lambda o, d, a, b: pp.probe_pair_raw(cs, table, o, d, a, b)
+    )(o, d, cidx, cidx2)
+    tr1, sr1 = jax.jit(
+        lambda o, d, c: pp.probe_blocks_min(cs, table, o, d, c,
+                                            stream=False))(o, d, cidx)
+    tr2, sr2 = jax.jit(
+        lambda o, d, c: pp.probe_blocks_min(cs, table, o, d, c,
+                                            stream=False))(o, d, cidx2)
+    f1 = np.isfinite(np.asarray(tr1))
+    f2 = np.isfinite(np.asarray(tr2))
+    pair_ok = ((np.asarray(tp1)[f1] == np.asarray(tr1)[f1]).all()
+               and (np.asarray(sp1)[f1] == np.asarray(sr1)[f1]).all()
+               and (np.asarray(tp2)[f2] == np.asarray(tr2)[f2]).all()
+               and (np.asarray(sp2)[f2] == np.asarray(sr2)[f2]).all())
+    record("probe_pair_vs_two_calls", pair_ok)
+
+    # -- 8. any-hit occlusion kernel (r05) vs trace-based shadow -------
+    from wasm_pathtracer_tpu.ops import scene_pallas as sp
+    import wasm_pathtracer_tpu.utils.vecmath as vm
+    om, dm = _rays(4096, 5)
+    om, dm = jnp.asarray(om), jnp.asarray(dm)
+    lsid = jnp.asarray(
+        np.random.default_rng(6).choice(np.asarray(scene.light_shape),
+                                        4096).astype(np.int32))
+    ptarget = scene.params[lsid][:, 0:3]   # a vertex of the light
+
+    @jax.jit
+    def occ_any(o):
+        return trace.shadow_ray(prep_p, scene, o, ptarget, lsid)[0]
+
+    @jax.jit
+    def occ_ref(o):
+        to_l = ptarget - o
+        dl = vm.length(to_l)
+        dd = to_l / dl[..., None]
+        oo = o + dd * 1e-4
+        t, sid, hit, _ = trace.trace_scene(prep_p, scene, oo, dd)
+        return hit & (t < dl) & (sid != lsid)
+
+    oa = np.asarray(occ_any(om))
+    orf = np.asarray(occ_ref(om))
+    n_diff = int((oa != orf).sum())
+    record("anyhit_shadow_vs_trace", n_diff == 0, n_diff=n_diff,
+           occ_rate=float(orf.mean()))
+
     out = dict(backend=jax.default_backend(),
                device=str(jax.devices()[0]),
                all_ok=bool(ok_all), checks=checks)
-    path = REPO / "MOSAIC_PARITY_r04.json"
+    path = REPO / "MOSAIC_PARITY_r05.json"
     path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}  all_ok={ok_all}")
     return 0 if ok_all else 1

@@ -421,7 +421,6 @@ def pack_dense_tables(prep, scene):
 
     Returns (fams, tables): ``fams`` a static tuple of (ptype, n).
     """
-    import numpy as np
     fams = []
     tables = []
     for name in ("plane", "sphere", "triangle", "torus", "aarect",
