@@ -231,3 +231,74 @@ def test_select_matches_xla():
     np.testing.assert_array_equal(np.asarray(cb0)[finb],
                                   np.asarray(cb1)[finb])
     np.testing.assert_array_equal(np.asarray(ea0), np.asarray(ea1))
+
+
+# ---------------------------------------------------------------------------
+# r05 kernels: fused select+scan, stateless probe pair
+# ---------------------------------------------------------------------------
+
+def test_select_scan_matches_select_plus_dense():
+    """The fused select+dense-scan kernel returns the same candidates
+    as select_blocks AND the same dense-remainder nearest hit as the
+    XLA dense trace."""
+    import dataclasses
+    from wasm_pathtracer_tpu.models import scenes
+    scene = scenes.mesh_scene(scenes.surface_mesh(14))
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=64)
+    cs = prep.cluster
+    C = cs.blocks.shape[0]
+    n = 192
+    o, d = _rays(n, 5)
+    r = np.random.default_rng(7)
+    skip_e = jnp.asarray(np.where(r.random(n) < 0.5, -np.inf,
+                                  r.uniform(0, 5, n)).astype(np.float32))
+    skip_c = jnp.asarray(r.integers(-1, C, n).astype(np.int32))
+    with pltpu.force_tpu_interpret_mode():
+        aabbs = pp.pack_aabbs(cs)
+        fams, tabs = pp.pack_dense_tables(prep, scene)
+        e1, c1, eb1, cb1, ea1 = pp.select_blocks(cs, aabbs, o, d,
+                                                 skip_e, skip_c, C)
+        e2, c2, eb2, cb2, ea2, t_d, sid_d = pp.select_scan(
+            cs, aabbs, fams, tabs, o, d, skip_e, skip_c, C)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(eb1), np.asarray(eb2))
+    np.testing.assert_array_equal(np.asarray(ea1), np.asarray(ea2))
+    fin = np.isfinite(np.asarray(e1))
+    np.testing.assert_array_equal(np.asarray(c1)[fin], np.asarray(c2)[fin])
+    # dense remainder vs the XLA dense trace
+    prep_nc = dataclasses.replace(prep, cluster=None)
+    t_x, sid_x, hit_x, _ = trace.trace_scene(prep_nc, scene, o, d)
+    hx = np.asarray(hit_x)
+    assert (np.isfinite(np.asarray(t_d)) == hx).all()
+    np.testing.assert_allclose(np.asarray(t_d)[hx], np.asarray(t_x)[hx],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sid_d)[hx],
+                                  np.asarray(sid_x)[hx])
+    assert (np.asarray(sid_d)[~hx] == -1).all()
+
+
+def test_probe_pair_matches_two_calls():
+    """probe_pair_raw == two probe_blocks_min calls, per round."""
+    from wasm_pathtracer_tpu.models import scenes
+    scene = scenes.mesh_scene(scenes.surface_mesh(14))
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=64)
+    cs = prep.cluster
+    C = cs.blocks.shape[0]
+    n = 192
+    o, d = _rays(n, 9)
+    c1 = (jnp.arange(n, dtype=jnp.int32) * 13) % C
+    c2 = (c1 * 7 + 3) % C
+    with pltpu.force_tpu_interpret_mode():
+        table = pp.pack_table(cs)
+        tp1, sp1, tp2, sp2 = pp.probe_pair_raw(cs, table, o, d, c1, c2)
+        tr1, sr1 = pp.probe_blocks_min(cs, table, o, d, c1, stream=False)
+        tr2, sr2 = pp.probe_blocks_min(cs, table, o, d, c2, stream=False)
+    for (ta, sa), (tb, sb) in (((tp1, sp1), (tr1, sr1)),
+                               ((tp2, sp2), (tr2, sr2))):
+        fin = np.isfinite(np.asarray(tb))
+        np.testing.assert_array_equal(np.asarray(ta)[fin],
+                                      np.asarray(tb)[fin])
+        np.testing.assert_array_equal(np.asarray(sa)[fin],
+                                      np.asarray(sb)[fin])

@@ -88,3 +88,29 @@ def test_trace_scene_routes_through_fused_flag():
     assert (np.asarray(hit0) == np.asarray(hit1)).all()
     assert np.allclose(np.asarray(t0)[both], np.asarray(t1)[both],
                        rtol=1e-5, atol=1e-5)
+
+
+def test_anyhit_occlusion_matches_trace_predicate():
+    """The any-hit shadow kernel (r05) equals the trace-based
+    predicate ``hit & (t < dist) & (sid != light)`` exactly — the
+    reference's distinct cheaper shadow query (``scene.rs:104-133``)
+    with identical verdicts."""
+    import wasm_pathtracer_tpu.utils.vecmath as vm
+    scene = scenes.museum()
+    prep = trace.prepare(scene)
+    r = np.random.default_rng(11)
+    n = 512
+    p = jnp.asarray(r.uniform(-4, 4, (n, 3)).astype(np.float32))
+    lsid = jnp.asarray(r.choice(np.asarray(scene.light_shape),
+                                n).astype(np.int32))
+    p_l = scene.params[lsid][:, 0:3]
+    to_l = p_l - p
+    dl = vm.length(to_l)
+    dd = to_l / jnp.maximum(dl, 1e-30)[..., None]
+    o = p + dd * 1e-4
+    t, sid, hit, _ = trace.trace_scene(prep, scene, o, dd)
+    ref = np.asarray(hit & (t < dl) & (sid != lsid))
+    with pltpu.force_tpu_interpret_mode():
+        occ, cost = sp.occluded_fused(prep, scene, o, dd, dl, lsid)
+    np.testing.assert_array_equal(np.asarray(occ), ref)
+    assert (np.asarray(cost) > 0).all()
