@@ -410,6 +410,37 @@ def flat_strip(B=16_384, NIT=128, S=524_288):
                 + st["k_lane"].sum()
         return run
 
+    # shade sub-strip: the two per-iteration row gathers alone (the
+    # packed hit row + the light row), consumed, on top of the
+    # skeleton — isolates the gather share of _shade_core's in-loop
+    # cost
+    def make_gathers():
+        lpack, _ = light_tab
+
+        def body(st):
+            sid = jnp.clip(st["sid_best"], 0,
+                           packed_rows.shape[0] - 1)
+            prow = packed_rows[sid]
+            lid = (st["pid"] + st["iters"]) % lpack.shape[0]
+            lrow = lpack[lid]
+            col = st["col"] + 1e-9 * (prow[:, :3] + lrow[:, :3])
+            return dict(st, col=col,
+                        sid_best=(st["sid_best"] + 1)
+                        % packed_rows.shape[0],
+                        iters=st["iters"] + 1)
+
+        sidx0 = jnp.arange(B, dtype=jnp.int32)
+        state = dict(col=jnp.zeros((B, 3), jnp.float32),
+                     sid_best=sidx0 % packed_rows.shape[0],
+                     pid=sidx0, iters=jnp.int32(0))
+
+        @jax.jit
+        def run():
+            st = jax.lax.while_loop(lambda st: st["iters"] < NIT, body,
+                                    state)
+            return st["col"].sum()
+        return run
+
     out = {}
     for name, flags in [("full", (1, 1, 1)), ("no_select", (0, 1, 1)),
                         ("no_probe", (1, 0, 1)), ("no_shade", (1, 1, 0)),
@@ -417,6 +448,9 @@ def flat_strip(B=16_384, NIT=128, S=524_288):
         out[name] = round(timed(make(*flags)) / NIT * 1e3, 4)
         print(f"flat {name:10s}: {out[name]:.3f} ms/iter",
               file=sys.stderr, flush=True)
+    out["gathers_x2"] = round(timed(make_gathers()) / NIT * 1e3, 4)
+    print(f"flat gathers_x2: {out['gathers_x2']:.3f} ms/iter",
+          file=sys.stderr, flush=True)
     return out
 
 

@@ -158,8 +158,16 @@ def sample(grid: PhotonGrid, p, seed, ray_id, slot):
     c_sel = jnp.clip(c + jnp.where(pick_own, 0, off), 0, grid.res - 1)
     cell_sel = _cell_index(grid, c_sel)
 
-    rows = grid.bins[cell_sel]                          # (..., L)
-    cdf = jnp.cumsum(rows, axis=-1)
+    # Per-CELL tables, computed from the (static-per-dispatch) bins —
+    # loop-invariant, so XLA hoists them out of the render loop.  The
+    # per-event work then drops from 9 row gathers + a (lanes, L)
+    # cumsum + 8 (lanes, L) row sums to ONE row gather + 8 scalar
+    # gathers (r05; values bit-identical — same per-row op sequence).
+    cdf_tab = jnp.cumsum(grid.bins, axis=-1)            # (cells, L)
+    sum_tab = jnp.sum(grid.bins, axis=-1)               # (cells,)
+    norm_flat = (grid.bins / sum_tab[:, None]).reshape(-1)
+
+    cdf = cdf_tab[cell_sel]                             # (..., L)
     total = cdf[..., -1:]
     r = u4[..., None] * total
     lid = jnp.minimum(jnp.sum(cdf < r, axis=-1), L - 1).astype(jnp.int32)
@@ -172,8 +180,7 @@ def sample(grid: PhotonGrid, p, seed, ray_id, slot):
                 sel = jnp.array([dx, dy, dz], jnp.int32)
                 cc = jnp.clip(c + off * sel[None, :], 0, grid.res - 1)
                 cell = _cell_index(grid, cc)
-                row = grid.bins[cell]
-                prob = row[jnp.arange(lid.shape[0]), lid] / jnp.sum(row, axis=-1)
+                prob = norm_flat[cell * L + lid]
                 w = jnp.prod(jnp.where(sel[None, :] == 0, w_own, 1.0 - w_own),
                              axis=-1)
                 pdf = pdf + prob * w

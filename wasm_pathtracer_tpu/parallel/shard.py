@@ -109,15 +109,19 @@ def _queue_sharded(renderer, mesh: Mesh, prep: trace.ScenePrep, scene,
     pad = _pad_to(max(S, 1), n_dev) - S
     pixq = jnp.pad(pix_queue, (0, pad), constant_values=width * height)
     shard = pixq.shape[0] // n_dev
-    # ONE-SIDED lane clamp (same rule as the session driver): a
-    # persistent-wavefront iteration costs ~full lane width regardless
-    # of live lanes, so when the per-device shard shrinks (more
-    # devices, same queue) a fixed wide wavefront pays its whole drain
-    # tail at every device count — the r04 SCALING flat-vs-queue
-    # differential (0.43 vs 0.82 aggregate at 8 virtual devices) was
-    # exactly this lane-sizing artifact.  Explicit SMALLER values are
-    # honored; lane width never exceeds max(1024, shard/4).
-    lanes_per_device = min(lanes_per_device, max(1024, shard // 4))
+    # ONE-SIDED lane clamp: a persistent-wavefront iteration costs
+    # ~full lane width regardless of live lanes, so when the
+    # per-device shard shrinks (more devices, same queue) a fixed wide
+    # wavefront pays its whole drain tail at every device count — the
+    # r04 SCALING flat-vs-queue differential (0.43 vs 0.82 aggregate
+    # at 8 virtual devices) was exactly this lane-sizing artifact.
+    # The optimum tracks ~shard/32 across every measured workload
+    # (single-chip sweeps: 16k lanes at S=524k, 8k at S=262k; the
+    # SCALING_r05 n=8 sweep: 2k lanes at 65k-path shards restores
+    # aggregate efficiency ~1.0 vs 0.57 at 16k).  Explicit SMALLER
+    # values are honored; lane width never exceeds
+    # max(1024, shard/32).
+    lanes_per_device = min(lanes_per_device, max(1024, shard // 32))
 
     @functools.partial(
         shard_map, mesh=mesh,
