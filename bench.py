@@ -514,12 +514,23 @@ def main():
             extras["backward_noremat_temp_mem_total_mb"] = round(mem_nr, 1)
         if rps_nr is None:
             # honest failure taxonomy (r04 review): "compile_failed"
-            # means the tpu_compile_helper died laying out the ~20 GB
-            # buffer assignment (the observed mode), "runtime_failed"
-            # a device OOM during execution — either way the datum is
-            # "does not fit without remat", not literally a runtime OOM
+            # means the tpu_compile_helper died on the unrolled
+            # 8-bounce backward graph (still the mode at 262k rays
+            # even after the IFT torus VJP cut total temps 8x — the
+            # death is graph-scale, not residual size),
+            # "runtime_failed" a device OOM during execution — either
+            # way the datum is "does not fit without remat at this
+            # batch", not literally a runtime OOM
             extras["backward_noremat_failed"] = kind
             extras["backward_noremat_error"] = err
+            # the tradeoff still gets a measured point: no-remat DOES
+            # compile at 65k rays, where it is SLOWER than remat
+            # (saved-residual HBM traffic beats the recompute) —
+            # r05 measured 240k vs 292k grad rays/s
+            rps_sm, _, err2, _ = _bench_backward(65_536, remat=False)
+            if rps_sm is not None:
+                extras["backward_noremat_rays_per_sec_65k"] = \
+                    round(rps_sm, 1)
         else:
             extras["backward_noremat_failed"] = False
             extras["backward_noremat_rays_per_sec"] = round(rps_nr, 1)
