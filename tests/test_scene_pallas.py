@@ -90,6 +90,58 @@ def test_trace_scene_routes_through_fused_flag():
                        rtol=1e-5, atol=1e-5)
 
 
+def _all_family_light_scene():
+    """Every primitive family plus emissive squares AND an emissive
+    sphere — the light-exclusion path must hold for every family the
+    excluded shape can belong to."""
+    b = SceneBuilder(background=(0.1, 0.1, 0.1))
+    r = np.random.default_rng(13)
+    for i in range(3):
+        b.add_sphere(r.uniform(-2, 2, 3), 0.5,
+                     Material.diffuse(0.6, 0.4, 0.3))
+    b.add_sphere((0.0, 2.5, 1.0), 0.4, Material.emissive(5.0, 5.0, 5.0))
+    b.add_plane((0, -2, 0), (0, 1, 0), Material.diffuse(0.5, 0.5, 0.5))
+    for i in range(2):
+        b.add_torus(r.uniform(-2, 2, 3), 0.8, 0.25,
+                    Material.diffuse(0.7, 0.7, 0.2))
+    lo = r.uniform(-2, 0, (2, 3))
+    hi = lo + r.uniform(0.2, 1.0, (2, 3))
+    for j in range(2):
+        b.add_aarect(lo[j][0], hi[j][0], lo[j][1], hi[j][1],
+                     lo[j][2], hi[j][2], Material.diffuse(0.2, 0.6, 0.7))
+    b.add_square((0.5, 3.0, 0.5), 1.5, Material.emissive(6.0, 6.0, 6.0))
+    tris = scenes.triangle_cloud(5, seed=4)
+    b.add_triangles(tris, Material.emissive(4.0, 4.0, 4.0))
+    return b.build()
+
+
+def _check_anyhit(scene, seed):
+    import wasm_pathtracer_tpu.utils.vecmath as vm
+    prep = trace.prepare(scene)
+    r = np.random.default_rng(seed)
+    n = 512
+    p = jnp.asarray(r.uniform(-4, 4, (n, 3)).astype(np.float32))
+    lsid = jnp.asarray(r.choice(np.asarray(scene.light_shape),
+                                n).astype(np.int32))
+    p_l = scene.params[lsid][:, 0:3]
+    to_l = p_l - p
+    dl = vm.length(to_l)
+    dd = to_l / jnp.maximum(dl, 1e-30)[..., None]
+    o = p + dd * 1e-4
+    t, sid, hit, _ = trace.trace_scene(prep, scene, o, dd)
+    ref = np.asarray(hit & (t < dl) & (sid != lsid))
+    with pltpu.force_tpu_interpret_mode():
+        occ, cost = sp.occluded_fused(prep, scene, o, dd, dl, lsid)
+    np.testing.assert_array_equal(np.asarray(occ), ref)
+    assert (np.asarray(cost) > 0).all()
+
+
+def test_anyhit_occlusion_all_families():
+    """Any-hit verdict parity on a scene with EVERY family present,
+    including an emissive sphere and square as excluded lights."""
+    _check_anyhit(_all_family_light_scene(), seed=17)
+
+
 def test_anyhit_occlusion_matches_trace_predicate():
     """The any-hit shadow kernel (r05) equals the trace-based
     predicate ``hit & (t < dist) & (sid != light)`` exactly — the
