@@ -81,6 +81,17 @@ Shadow rays resolve nearest-hit semantics identical to
 one extra *pruning* bound: clusters entirely beyond the light distance
 cannot change the verdict and are skipped, so the probe count (the
 cost metric) can undercount the lockstep path's — never the verdict.
+
+r05 kernel regime (VMEM-resident tables): the SCAN is folded into the
+select kernel (``probe_pallas.select_scan`` — a standalone scan over
+the usually-tiny dense remainder cost ~0.3 ms/iter of pure dispatch)
+and both probe rounds run as ONE stateless kernel
+(``probe_pallas.probe_pair_raw``) whose raw per-round reductions are
+masked in XLA — stateless because a kernel VMEM input that depends on
+the same kernel's previous output through the loop carry costs
+~1 ms/iter of staging (measured r05; see PROFILE_r05.md).  The
+HBM-streamed and XLA regimes keep the three-step form.  Radiance is
+bit-identical across all regimes (MOSAIC_PARITY_r05.json).
 """
 
 from __future__ import annotations
