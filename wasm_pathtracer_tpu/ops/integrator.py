@@ -117,6 +117,15 @@ def _light_table(scene: SceneData):
     return lpack, max(scene.num_lights, 1)
 
 
+def _light_table_cols(scene: SceneData):
+    """:func:`_light_table` split into (L,) columns — the flat
+    wavefront's form (2-D row gathers cost ~+1.5 ms/iter inside its
+    kernel-bearing loop body; 1-D column gathers are ~free there —
+    see ``trace.pack_hit_cols``).  Bit-identical values."""
+    lpack, n_lights = _light_table(scene)
+    return tuple(lpack[:, k] for k in range(lpack.shape[1])), n_lights
+
+
 def _shade_core(prep: tr.ScenePrep, scene: SceneData,
                 settings: RenderSettings, light_tab, photon_grid,
                 o, d, throughput, color, alive, hdb, absorb,
@@ -248,7 +257,11 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
                               n_lights - 1)
             light_chance = jnp.full((R,), 1.0 / n_lights, jnp.float32)
 
-        lrow = lpack[lid]                         # (R, 16) — ONE gather
+        if isinstance(lpack, tuple):
+            # column form: per-column 1-D gathers (see _light_table_cols)
+            lrow = jnp.stack([c[lid] for c in lpack], axis=1)
+        else:
+            lrow = lpack[lid]                     # (R, 16) — ONE gather
         lv = lrow[:, 0:9]
         intensity = lrow[:, 9:12]
         lsid_g = lrow[:, 12].astype(jnp.int32)

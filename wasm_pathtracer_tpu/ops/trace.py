@@ -316,6 +316,25 @@ def pack_hit_rows(scene: SceneData):
          jnp.zeros((scene.params.shape[0], 1), f32)], axis=1)
 
 
+def pack_hit_cols(scene: SceneData):
+    """:func:`pack_hit_rows` split into a tuple of 24 contiguous (N,)
+    columns, for gather-hostile loop bodies.
+
+    Measured r05 on the flat wavefront (v5e, B=16k, mesh70k): inside
+    the 3-Pallas-kernel ``while`` body, ONE 2-D row gather costs
+    ~+1.5 ms/iter (XLA reschedules the whole body around it — ~19
+    extra async carry copies appear), while 1-D column gathers cost a
+    flat ~0.35 ms/iter *independent of count* (24 columns time the
+    same as 3).  The same row gather in the museum queue loop is
+    cheap, so :func:`pack_hit_rows` remains the default; loop drivers
+    whose bodies carry Pallas kernels pass this tuple instead.  Values
+    are bit-identical (same arrays, restacked per lane after the
+    per-column gathers).
+    """
+    rows = pack_hit_rows(scene)
+    return tuple(rows[:, k] for k in range(rows.shape[1]))
+
+
 def hit_info(scene: SceneData, o, d, t, sid, packed=None):
     """Normals, entering flags and material rows for hits.
 
@@ -324,13 +343,20 @@ def hit_info(scene: SceneData, o, d, t, sid, packed=None):
     per ray, not per primitive).
 
     ``packed`` is :func:`pack_hit_rows`'s output (built here when not
-    supplied — loop callers pass it in to keep it loop-invariant).
+    supplied — loop callers pass it in to keep it loop-invariant), or
+    :func:`pack_hit_cols`'s column tuple (gather-hostile loops; see
+    its docstring for the measured why).
 
     Returns dict with n, is_entering, kind, albedo, emission, extra.
     """
     if packed is None:
         packed = pack_hit_rows(scene)
-    prow = packed[sid]                             # (R, 24) — ONE gather
+    if isinstance(packed, tuple):
+        # per-column 1-D gathers, restacked: bit-identical to the row
+        # gather, ~4x cheaper inside kernel-bearing while bodies
+        prow = jnp.stack([c[sid] for c in packed], axis=1)
+    else:
+        prow = packed[sid]                         # (R, 24) — ONE gather
     rows = prow[:, 0:9]
     pt = prow[:, 20].astype(jnp.int32)             # (R,)
 

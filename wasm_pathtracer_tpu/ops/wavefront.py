@@ -164,7 +164,16 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     if settings.max_bounces == 0:
         return _early(jnp.zeros((HW,), jnp.int32).at[pix_queue].add(1))
 
-    light_tab = itg._light_table(scene)
+    # The LIGHT table rides in column form: a 2-D row gather inside
+    # this kernel-bearing while body is a measured scheduling cliff
+    # (r05, B=16k: one trivially-consumed row gather +1.5 ms/iter; the
+    # real shade's light-row gather as 16 per-column 1-D gathers is
+    # slightly FASTER than the row form, 2.26 vs 2.30 ms/iter).  The
+    # HIT table stays in row form: the same column split there measured
+    # 4.29 ms/iter against 2.30 — with the real hit_info consumers XLA
+    # splinters the 24 gather+compute chains into a far worse schedule.
+    # (Both forms are bit-identical in values; see PROFILE_r05.md.)
+    light_tab = itg._light_table_cols(scene)
     packed_rows = tr.pack_hit_rows(scene)    # loop-invariant, built once
     # SCAN kernel choice: with the big families clustered away, the
     # dense remainder is usually a handful of shapes (plane + light),
