@@ -263,7 +263,7 @@ def flat_strip(B=16_384, NIT=128, S=524_288):
             skip_e = jnp.where(scan, -jnp.inf, st["skip_e"])
             skip_c = jnp.where(scan, -1, st["skip_c"])
             if select_on:
-                e_cur, c_cur, e_b, c_b, e_aft, t_d, sid_d = \
+                e_cur, c_cur, e_b, c_b, e_aft, t_d, sid_d, _rd = \
                     pp.select_scan(cs, aabbs, dense_fams, dense_tabs,
                                    tr_o, tr_d, skip_e, skip_c, C)
             else:
@@ -282,8 +282,10 @@ def flat_strip(B=16_384, NIT=128, S=524_288):
             skip_e = jnp.where(probing, e_cur, skip_e)
             skip_c = jnp.where(probing, c_cur, skip_c)
             if probe_on:
-                tl1, sv1, tl2, sv2 = pp.probe_pair_raw(
+                _r1, _r2 = pp.probe_pair_raw(
                     cs, table, tr_o, tr_d, c_cur, c_b)
+                tl1, sv1 = _r1[:, 0], _r1[:, 1].astype(jnp.int32)
+                tl2, sv2 = _r2[:, 0], _r2[:, 1].astype(jnp.int32)
                 better = probing & (tl1 < t_best)
                 t_best = jnp.where(better, tl1, t_best)
                 sid_best = jnp.where(better, sv1, sid_best)

@@ -199,7 +199,7 @@ def main():
 
     # -- 6. fused select+dense-scan kernel (r05) vs select + XLA scan --
     dense_fams, dense_tabs = pp.pack_dense_tables(prep_m, mesh)
-    e2, c2, eb2, cb2, ea2, t_d, sid_d = jax.jit(
+    e2, c2, eb2, cb2, ea2, t_d, sid_d, _row_d = jax.jit(
         lambda o, d, se, sc: pp.select_scan(
             cs, aabbs, dense_fams, dense_tabs, o, d, se, sc, C)
     )(o, d, skip_e, skip_c)
@@ -220,9 +220,11 @@ def main():
 
     # -- 7. paired-probe kernel (r05) vs two probe_blocks_min calls ----
     cidx2 = (cidx * 7 + 3) % C
-    tp1, sp1, tp2, sp2 = jax.jit(
+    pr1, pr2 = jax.jit(
         lambda o, d, a, b: pp.probe_pair_raw(cs, table, o, d, a, b)
     )(o, d, cidx, cidx2)
+    tp1, sp1 = pr1[:, 0], pr1[:, 1].astype(jnp.int32)
+    tp2, sp2 = pr2[:, 0], pr2[:, 1].astype(jnp.int32)
     tr1, sr1 = jax.jit(
         lambda o, d, c: pp.probe_blocks_min(cs, table, o, d, c,
                                             stream=False))(o, d, cidx)

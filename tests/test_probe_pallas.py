@@ -259,7 +259,7 @@ def test_select_scan_matches_select_plus_dense():
         fams, tabs = pp.pack_dense_tables(prep, scene)
         e1, c1, eb1, cb1, ea1 = pp.select_blocks(cs, aabbs, o, d,
                                                  skip_e, skip_c, C)
-        e2, c2, eb2, cb2, ea2, t_d, sid_d = pp.select_scan(
+        e2, c2, eb2, cb2, ea2, t_d, sid_d, row_d = pp.select_scan(
             cs, aabbs, fams, tabs, o, d, skip_e, skip_c, C)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     np.testing.assert_array_equal(np.asarray(eb1), np.asarray(eb2))
@@ -292,7 +292,9 @@ def test_probe_pair_matches_two_calls():
     c2 = (c1 * 7 + 3) % C
     with pltpu.force_tpu_interpret_mode():
         table = pp.pack_table(cs)
-        tp1, sp1, tp2, sp2 = pp.probe_pair_raw(cs, table, o, d, c1, c2)
+        pr1, pr2 = pp.probe_pair_raw(cs, table, o, d, c1, c2)
+        tp1, sp1 = pr1[:, 0], pr1[:, 1].astype(jnp.int32)
+        tp2, sp2 = pr2[:, 0], pr2[:, 1].astype(jnp.int32)
         tr1, sr1 = pp.probe_blocks_min(cs, table, o, d, c1, stream=False)
         tr2, sr2 = pp.probe_blocks_min(cs, table, o, d, c2, stream=False)
     for (ta, sa), (tb, sb) in (((tp1, sp1), (tr1, sr1)),
@@ -302,3 +304,49 @@ def test_probe_pair_matches_two_calls():
                                       np.asarray(tb)[fin])
         np.testing.assert_array_equal(np.asarray(sa)[fin],
                                       np.asarray(sb)[fin])
+
+
+def test_winner_row_emission_matches_gather():
+    """The kernels' emitted winner rows (params, ptype, palette entry)
+    must equal the per-sid gather they replace — the contract behind
+    the flat wavefront's gather-free shading (PROFILE_r05.md)."""
+    scene = _mixed_scene()
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=8)
+    cs = prep.cluster
+    assert cs.pal_idx is not None and len(cs.pal_rep) >= 1
+    C = cs.blocks.shape[0]
+    n = 192
+    o, d = _rays(n, 11)
+    c1 = (jnp.arange(n, dtype=jnp.int32) * 13) % C
+    c2 = (c1 * 7 + 3) % C
+    with pltpu.force_tpu_interpret_mode():
+        table = pp.pack_table(cs)
+        pr1, pr2 = pp.probe_pair_raw(cs, table, o, d, c1, c2)
+    params = np.asarray(scene.params)[:, :9]
+    ptype = np.asarray(scene.ptype)
+    pal = np.asarray(cs.pal_idx)
+    for row in (np.asarray(pr1), np.asarray(pr2)):
+        fin = np.isfinite(row[:, 0])
+        sid = row[fin, 1].astype(np.int32)
+        np.testing.assert_array_equal(row[fin, 2:11], params[sid])
+        np.testing.assert_array_equal(row[fin, 11].astype(np.int32),
+                                      ptype[sid])
+        np.testing.assert_array_equal(row[fin, 12].astype(np.int32),
+                                      pal[sid])
+    # dense winner row from the fused select+scan kernel
+    skip_e = jnp.full((n,), -np.inf, jnp.float32)
+    skip_c = jnp.full((n,), -1, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        aabbs = pp.pack_aabbs(cs)
+        fams, tabs = pp.pack_dense_tables(prep, scene, cs.pal_idx)
+        *_cand, t_d, sid_d, row_d = pp.select_scan(
+            cs, aabbs, fams, tabs, o, d, skip_e, skip_c, C)
+    row_d = np.asarray(row_d)
+    fin = np.isfinite(np.asarray(t_d))
+    sid = np.asarray(sid_d)[fin]
+    np.testing.assert_array_equal(row_d[fin, 2:11], params[sid])
+    np.testing.assert_array_equal(row_d[fin, 11].astype(np.int32),
+                                  ptype[sid])
+    np.testing.assert_array_equal(row_d[fin, 12].astype(np.int32),
+                                  pal[sid])

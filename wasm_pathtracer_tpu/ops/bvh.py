@@ -541,7 +541,23 @@ def attach_clusters(prep, scene, num_bins: int = 16,
                            group or cl.CLUSTER_SIZE)
     baked_lights = bool(light_sids.size and
                         np.isin(light_sids, prim_index).any())
-    cs = dataclasses.replace(cs, has_baked_lights=baked_lights)
+    # material palette (cluster.ClusterSet.pal_idx/pal_rep): group
+    # shapes by identical material rows so the flat wavefront can shade
+    # from kernel-emitted winner rows + a tiny palette select instead
+    # of a per-sid row gather (a measured ~+1.5 ms/iter scheduling
+    # cliff inside its kernel-bearing loop — PROFILE_r05.md)
+    mat = np.concatenate(
+        [np.asarray(scene.albedo, np.float32),
+         np.asarray(scene.emission, np.float32),
+         np.asarray(scene.mat_extra, np.float32),
+         np.asarray(scene.mat_kind)[:, None].astype(np.float32),
+         np.asarray(scene.tex_id)[:, None].astype(np.float32)], axis=1)
+    _, first, pal_idx = np.unique(mat, axis=0, return_index=True,
+                                  return_inverse=True)
+    cs = dataclasses.replace(
+        cs, has_baked_lights=baked_lights,
+        pal_idx=jnp.asarray(pal_idx.astype(np.int32)),
+        pal_rep=tuple(int(i) for i in first))
     empty = jnp.zeros((0,), jnp.int32)
     repl = {fam_attr[f]: kept_dense.get(fam_attr[f], empty)
             for f in families}

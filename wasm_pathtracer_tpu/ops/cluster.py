@@ -77,6 +77,18 @@ class ClusterSet:
     # in the live dense remainder instead
     has_baked_lights: bool = _field(metadata=dict(static=True),
                                     default=True)
+    # material palette for gather-free shading in the flat wavefront:
+    # shapes with byte-identical material rows (albedo, emission,
+    # mat_extra, kind, tex) share one palette entry.  ``pal_idx`` maps
+    # every GLOBAL shape id to its entry; ``pal_rep`` (static) names one
+    # representative shape id per entry, from which the per-dispatch
+    # palette VALUES are re-gathered live (so material-value edits stay
+    # fresh; the entry STRUCTURE bakes at attach time, the same
+    # staleness contract as the geometry blocks above).  None/() when
+    # the ClusterSet was built without a scene (tests) — the flat loop
+    # then falls back to the per-sid row gather.
+    pal_idx: jax.Array | None = None
+    pal_rep: tuple = _field(metadata=dict(static=True), default=())
 
 
 def prim_aabbs(rows: np.ndarray, ptypes: np.ndarray):

@@ -129,7 +129,8 @@ def _light_table_cols(scene: SceneData):
 def _shade_core(prep: tr.ScenePrep, scene: SceneData,
                 settings: RenderSettings, light_tab, photon_grid,
                 o, d, throughput, color, alive, hdb, absorb,
-                slot0, ray_id, seed, t, sid, hit, packed_rows=None):
+                slot0, ray_id, seed, t, sid, hit, packed_rows=None,
+                hit_row=None):
     """Everything :func:`_bounce_step` does AFTER the scene trace,
     except resolving the NEE occlusion query.
 
@@ -166,7 +167,20 @@ def _shade_core(prep: tr.ScenePrep, scene: SceneData,
     # value so no inf/NaN ever enters a masked lane (masked NaNs
     # poison gradients through the 0 * NaN VJP of jnp.where)
     t_safe = jnp.where(hit, t, 1.0)
-    info = tr.hit_info(scene, o, d, t_safe, sid_c, packed=packed_rows)
+    if hit_row is not None:
+        # gather-free entry: the caller (the flat wavefront) supplies
+        # the winner's hit row, emitted by its probe kernels — a
+        # per-sid row gather inside that loop is a measured ~+1.5
+        # ms/iter scheduling cliff (PROFILE_r05.md).  A tuple/list is
+        # the COLUMN form (24 (R,) arrays — the fast carry layout);
+        # an array is a (R, 24) packed row.
+        if isinstance(hit_row, (tuple, list)):
+            info = tr.hit_info_from_cols(scene, o, d, t_safe, hit_row)
+        else:
+            info = tr.hit_info_from_row(scene, o, d, t_safe, hit_row)
+    else:
+        info = tr.hit_info(scene, o, d, t_safe, sid_c,
+                           packed=packed_rows)
 
     # Beer-Lambert absorption through the current medium
     # (restored refract capability; no-op when absorb == 0)

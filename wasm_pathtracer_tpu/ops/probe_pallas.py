@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wasm_pathtracer_tpu.models.scene import PrimType
 
-LANE_GROUP = 64         # lanes served per probe grid step (see module doc)
+LANE_GROUP = 256        # lanes served per probe grid step (see module doc)
 TABLE_ROWS = 16         # 9 params + type code + sid, padded to 2 f32 tiles
 VMEM_TABLE_BYTES = 8 * 2 ** 20   # table budget; beyond it, XLA fallback
 
@@ -90,6 +90,11 @@ def kernel_ok(cs) -> bool:
 def pack_table(cs):
     """(C, G, 9) blocks + (C, G) btype + slot sids -> (C, 16, G) table.
 
+    Row 11 is the slot's material-palette entry (``cs.pal_idx``, -1 on
+    padding slots or when the ClusterSet carries no palette) — the
+    winner-row emission (:func:`probe_pair_raw`) returns it so the flat
+    wavefront can shade without any per-sid gather.
+
     Runs inside jit; build it OUTSIDE any traversal loop (it is
     loop-invariant) and pass it to :func:`probe_blocks` /
     :func:`probe_blocks_min`.
@@ -98,8 +103,14 @@ def pack_table(cs):
     params = jnp.transpose(cs.blocks, (0, 2, 1))          # (C, 9, G)
     btype = cs.btype.astype(jnp.float32)[:, None, :]      # (C, 1, G)
     sid = cs.slot_to_sid.reshape(C, 1, G).astype(jnp.float32)
-    pad = jnp.zeros((C, TABLE_ROWS - 11, G), jnp.float32)
-    return jnp.concatenate([params, btype, sid, pad], axis=1)
+    if cs.pal_idx is not None:
+        pal = cs.pal_idx[jnp.maximum(cs.slot_to_sid, 0)]
+        pal = jnp.where(cs.slot_to_sid >= 0, pal, -1)
+        pal = pal.reshape(C, 1, G).astype(jnp.float32)
+    else:
+        pal = jnp.full((C, 1, G), -1.0, jnp.float32)
+    pad = jnp.zeros((C, TABLE_ROWS - 12, G), jnp.float32)
+    return jnp.concatenate([params, btype, sid, pal, pad], axis=1)
 
 
 def _cross(ax, ay, az, bx, by, bz):
@@ -299,7 +310,7 @@ def pack_aabbs(cs):
 # lanes per select-kernel grid step: larger than the probe's 8 because
 # the select does (LG, Cpad) work per step with no per-lane dynamic
 # loads — fewer grid steps amortize the per-step DMA/loop overhead
-SELECT_GROUP = 64
+SELECT_GROUP = 256
 
 
 def _make_select_kernel(C: int):
@@ -410,14 +421,16 @@ def select_blocks(cs, aabbs, o, d, skip_e, skip_c, C: int):
 _BIGI = 2 ** 30
 
 
-def pack_dense_tables(prep, scene):
-    """Per-family (P8, 10) tables for the dense (non-clustered)
+def pack_dense_tables(prep, scene, pal_idx=None):
+    """Per-family (P8, 16) tables for the dense (non-clustered)
     remainder: cols 0-8 the parameter row, col 9 the global shape id
-    as f32 (-1 on padding rows).  Consumed by the fused
-    :func:`select_scan` kernel, which folds the reference's dense
-    prefix (``scene.rs:162-184``) into the slab pass — measured r05:
-    a standalone scan over a 1-primitive remainder costs ~0.3 ms/iter
-    at 16k lanes in either kernel regime, pure per-dispatch overhead.
+    as f32 (-1 on padding rows), col 10 the material-palette entry
+    (-1 without a palette; see ``cluster.ClusterSet.pal_idx``).
+    Consumed by the fused :func:`select_scan` kernel, which folds the
+    reference's dense prefix (``scene.rs:162-184``) into the slab
+    pass — measured r05: a standalone scan over a 1-primitive
+    remainder costs ~0.3 ms/iter at 16k lanes in either kernel regime,
+    pure per-dispatch overhead.
 
     Returns (fams, tables): ``fams`` a static tuple of (ptype, n).
     """
@@ -432,12 +445,18 @@ def pack_dense_tables(prep, scene):
         fam = int(getattr(PrimType, name.upper()))
         rows = scene.params[idx][:, :9]
         sid = idx.astype(jnp.float32)[:, None]
-        tab = jnp.concatenate([rows, sid], axis=1)        # (n, 10)
+        if pal_idx is not None:
+            pal = pal_idx[idx].astype(jnp.float32)[:, None]
+        else:
+            pal = jnp.full((n, 1), -1.0, jnp.float32)
+        tab = jnp.concatenate(
+            [rows, sid, pal, jnp.zeros((n, 5), jnp.float32)], axis=1)
         pad = (-n) % 8
         tab = jnp.pad(tab, ((0, pad), (0, 0)),
                       constant_values=0.0)
         if pad:
             tab = tab.at[n:, 9].set(-1.0)
+            tab = tab.at[n:, 10].set(-1.0)
         fams.append((fam, n))
         tables.append(tab)
     return tuple(fams), tables
@@ -510,30 +529,43 @@ def _make_select_scan_kernel(C: int, fams):
         lg = o3[0].shape[0]
         best_t = jnp.full((1, lg), jnp.inf, jnp.float32)
         best_sid = jnp.full((1, lg), -1.0, jnp.float32)
+        # dense WINNER ROW: params 0-8, ptype, pal — emitted so the
+        # flat wavefront shades without a per-sid gather (see
+        # _reduce_min_row's docstring for the measured why)
+        best_row = [jnp.zeros((1, lg), jnp.float32) for _ in range(11)]
         for (fam, n), ref in zip(fams, dense_refs):
             t = t_fns[fam](ref, o3, d3)                   # (P8, LG)
             tmin_f = jnp.min(t, axis=0, keepdims=True)
             io = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
             j = jnp.min(jnp.where(t <= tmin_f, io, _BIGI), axis=0,
                         keepdims=True)
-            sid_col = ref[:, 9]                           # (P8,)
-            sidv = jnp.sum(jnp.where(io == j, sid_col[:, None], 0.0),
+            win = io == j
+            sidv = jnp.sum(jnp.where(win, ref[:, 9][:, None], 0.0),
                            axis=0, keepdims=True)
             better = tmin_f < best_t
             best_t = jnp.where(better, tmin_f, best_t)
             best_sid = jnp.where(better, sidv, best_sid)
+            for k in range(9):
+                v = jnp.sum(jnp.where(win, ref[:, k][:, None], 0.0),
+                            axis=0, keepdims=True)
+                best_row[k] = jnp.where(better, v, best_row[k])
+            best_row[9] = jnp.where(better, jnp.float32(fam),
+                                    best_row[9])
+            palv = jnp.sum(jnp.where(win, ref[:, 10][:, None], 0.0),
+                           axis=0, keepdims=True)
+            best_row[10] = jnp.where(better, palv, best_row[10])
 
         out = jnp.concatenate(
             [e_cur, c_cur, e_b, c_b, e_after,
              jnp.zeros((SELECT_GROUP, 3), jnp.float32)], axis=1)
         out_ref[...] = out
         # dense results stay LANE-oriented (Mosaic cannot shape-cast a
-        # lane vector into sublane tiles): their own (8, LG) output
-        # block — rows 0/1 = t/sid, replicated to the 8-sublane
-        # minimum; the wrapper reads rows 0 and 1.
+        # lane vector into sublane tiles): their own (16, LG) output
+        # block — rows 0/1 = t/sid, rows 2-12 the winner row (params
+        # 0-8, ptype, pal); the wrapper slices them back per lane.
         dense_out_ref[...] = jnp.broadcast_to(
-            jnp.concatenate([best_t, best_sid,
-                             jnp.zeros((6, lg), jnp.float32)], axis=0),
+            jnp.concatenate([best_t, best_sid] + best_row
+                            + [jnp.zeros((3, lg), jnp.float32)], axis=0),
             dense_out_ref.shape)
 
     return kernel
@@ -557,12 +589,12 @@ def _select_scan_call(aabbs, rays, dense_tabs, C, fams):
         out_specs=[
             pl.BlockSpec((SELECT_GROUP, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, SELECT_GROUP), lambda i: (i, 0),
+            pl.BlockSpec((16, SELECT_GROUP), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NG * SELECT_GROUP, 8), jnp.float32),
-            jax.ShapeDtypeStruct((NG * 8, SELECT_GROUP), jnp.float32),
+            jax.ShapeDtypeStruct((NG * 16, SELECT_GROUP), jnp.float32),
         ],
     )(rays, aabbs, *dense_tabs)
 
@@ -572,11 +604,13 @@ def select_scan(cs, aabbs, dense_fams, dense_tabs, o, d, skip_e, skip_c,
     """Fused select + dense-remainder scan: one kernel emits the two
     lex-min unvisited clusters AND the nearest dense-family hit.
 
-    Returns (e_cur, c_cur, e_b, c_b, e_after, t_dense, sid_dense) —
-    the first five exactly as :func:`select_blocks`; ``t_dense`` is
-    +inf on miss and ``sid_dense`` the winning global shape id (-1 on
-    miss), matching ``trace.trace_scene``'s contract on the dense
-    remainder.
+    Returns (e_cur, c_cur, e_b, c_b, e_after, t_dense, sid_dense,
+    row_dense) — the first five exactly as :func:`select_blocks`;
+    ``t_dense`` is +inf on miss and ``sid_dense`` the winning global
+    shape id (-1 on miss), matching ``trace.trace_scene``'s contract
+    on the dense remainder; ``row_dense`` is the (B, 16) dense winner
+    row in :func:`_reduce_min_row` layout ([t, sid, p0..p8, ptype,
+    pal, pads]) for gather-free shading.
     """
     B = o.shape[0]
     pad = (-B) % SELECT_GROUP
@@ -588,26 +622,28 @@ def select_scan(cs, aabbs, dense_fams, dense_tabs, o, d, skip_e, skip_c,
                                    dense_fams)
     out = out[:B]
     NG = rays.shape[0]
-    dense = dense.reshape(NG, 8, SELECT_GROUP)
+    dense = dense.reshape(NG, 16, SELECT_GROUP)
     t_d = dense[:, 0, :].reshape(-1)[:B]
     sid_f = dense[:, 1, :].reshape(-1)[:B]
+    row_d = dense.transpose(0, 2, 1).reshape(-1, 16)[:B]
     e_cur = out[:, 0]
     c_cur = jnp.minimum(out[:, 1], C - 1).astype(jnp.int32)
     e_b = out[:, 2]
     c_b = jnp.minimum(out[:, 3], C - 1).astype(jnp.int32)
     sid_d = jnp.where(jnp.isfinite(t_d), sid_f, -1.0).astype(jnp.int32)
-    return e_cur, c_cur, e_b, c_b, out[:, 4], t_d, sid_d
+    return e_cur, c_cur, e_b, c_b, out[:, 4], t_d, sid_d, row_d
 
 
 def _test_tiles(families, G, rays, tiles):
     """Restack per-lane tiles into (LG, G) parameter rows and run the
     masked type-switched test.
 
-    Returns (t (LG, G) candidate distances, sid (LG, G) f32 row).
+    Returns (t (LG, G) candidate distances, A: the 12 restacked
+    (LG, G) table rows — params 0-8, btype 9, sid 10, pal 11).
     """
     # re-stack: parameter row k for the LG lanes -> (LG, G)
     A = [jnp.concatenate([tl[k:k + 1, :] for tl in tiles], axis=0)
-         for k in range(11)]
+         for k in range(12)]
     o = (rays[:, 0:1], rays[:, 1:2], rays[:, 2:3])        # (LG, 1) each
     d = (rays[:, 3:4], rays[:, 4:5], rays[:, 5:6])
     btype = A[9]
@@ -615,7 +651,7 @@ def _test_tiles(families, G, rays, tiles):
     for fam in families:
         tf = _TESTS[fam](A, o, d)
         t = jnp.where(btype == jnp.float32(fam), tf, t)
-    return t, A[10]
+    return t, A
 
 
 def _probe_body(families, G, cidx_ref, rays_ref, tab_ref):
@@ -648,17 +684,30 @@ def _probe_body_stream(families, G, cidx_ref, rays_ref, tab_ref,
     return _test_tiles(families, G, rays_ref[0], tiles)
 
 
-def _reduce_min_sid(t, sid_row, G):
-    """(LG, G) candidates -> per-lane (t_min, sid at the FIRST minimum
-    slot) — the same tie-break as ``jnp.argmin`` in the XLA fallback."""
+def _reduce_min_row(t, A, G):
+    """(LG, G) candidates -> the per-lane WINNER ROW: (LG, 16) block
+    ``[t_min, sid, p0..p8, btype, pal, 0, 0, 0]``.
+
+    The winner is the FIRST minimum slot — the same tie-break as
+    ``jnp.argmin`` in the XLA fallback.  Emitting the winner's table
+    row here (12 masked reductions on data already in registers) is
+    what lets the flat wavefront shade WITHOUT a per-sid row gather:
+    that gather inside the kernel-bearing while body is a measured
+    ~+1.5 ms/iter scheduling cliff (PROFILE_r05.md).  On a miss
+    (t_min = +inf) the row is the first slot's — garbage but
+    deterministic; shade masks on ``isfinite``.
+    """
     tloc = jnp.min(t, axis=1, keepdims=True)              # (LG, 1)
     slot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) \
         .astype(jnp.float32)
     jloc = jnp.min(jnp.where(t == tloc, slot, float(G)), axis=1,
                    keepdims=True)
-    sidv = jnp.sum(jnp.where(slot == jloc, sid_row, 0.0), axis=1,
-                   keepdims=True)
-    return tloc, sidv
+    win = (slot == jloc)
+    cols = [jnp.sum(jnp.where(win, A[k], 0.0), axis=1, keepdims=True)
+            for k in (10, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11)]
+    return jnp.concatenate(
+        [tloc] + cols + [jnp.zeros((t.shape[0], 3), jnp.float32)],
+        axis=1)
 
 
 def _make_kernel(families, G):
@@ -674,18 +723,14 @@ def _make_kernel(families, G):
 
 def _make_min_kernel(families, G, stream):
     def kernel(cidx_ref, rays_ref, tab_ref, out_ref, *scr):
-        # out_ref: (LG, 8) — col 0 min distance, col 1 shape id (f32,
-        # sid of the first minimum slot; -1 padding rides the table).
+        # out_ref: (LG, 16) winner row — see _reduce_min_row.
         if stream:
-            t, sid_row = _probe_body_stream(families, G, cidx_ref,
-                                            rays_ref, tab_ref, *scr)
+            t, A = _probe_body_stream(families, G, cidx_ref,
+                                      rays_ref, tab_ref, *scr)
         else:
-            t, sid_row = _probe_body(families, G, cidx_ref, rays_ref,
-                                     tab_ref)
-        tloc, sidv = _reduce_min_sid(t, sid_row, G)
-        out_ref[...] = jnp.concatenate(
-            [tloc, sidv, jnp.zeros((LANE_GROUP, 6), jnp.float32)],
-            axis=1)
+            t, A = _probe_body(families, G, cidx_ref, rays_ref,
+                               tab_ref)
+        out_ref[...] = _reduce_min_row(t, A, G)
 
     return kernel
 
@@ -698,9 +743,9 @@ def _probe_call(table, rays, cidx, families, want_min=False,
     NG = cidx.shape[0]                                    # B / LG groups
     if want_min:
         kernel = _make_min_kernel(families, G, stream)
-        out_shape = jax.ShapeDtypeStruct((NG * LANE_GROUP, 8),
+        out_shape = jax.ShapeDtypeStruct((NG * LANE_GROUP, 16),
                                          jnp.float32)
-        out_block = (LANE_GROUP, 8)
+        out_block = (LANE_GROUP, 16)
     else:
         assert not stream, "streaming implemented for the min kernel"
         kernel = _make_kernel(families, G)
@@ -782,14 +827,10 @@ def _make_pair_kernel(families, G):
         def probe(row):
             tiles = [tab_ref[pl.ds(cidx_ref[0, row, j], 1), :, :][0]
                      for j in range(LANE_GROUP)]
-            t, sid_row = _test_tiles(families, G, rays, tiles)
-            return _reduce_min_sid(t, sid_row, G)
+            t, A = _test_tiles(families, G, rays, tiles)
+            return _reduce_min_row(t, A, G)
 
-        tl1, sv1 = probe(0)
-        tl2, sv2 = probe(1)
-        out_ref[...] = jnp.concatenate(
-            [tl1, sv1, tl2, sv2,
-             jnp.zeros((LANE_GROUP, 4), jnp.float32)], axis=1)
+        out_ref[...] = jnp.concatenate([probe(0), probe(1)], axis=1)
 
     return kernel
 
@@ -809,9 +850,9 @@ def _pair_call(table, rays, cidx, families):
             pl.BlockSpec((C, ROWS, G), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LANE_GROUP, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((LANE_GROUP, 32), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NG * LANE_GROUP, 8),
+        out_shape=jax.ShapeDtypeStruct((NG * LANE_GROUP, 32),
                                        jnp.float32),
     )(cidx, rays, table)
 
@@ -820,9 +861,12 @@ def probe_pair_raw(cs, table, o, d, c1, c2):
     """Both flat-loop probe rounds in one kernel (VMEM table only).
 
     Each round is exactly :func:`probe_blocks_min` on its candidate;
-    one launch shares the ray staging.  Returns (t1, sid1, t2, sid2)
-    with sids int32 (first-minimum tie-break, garbage-but-deterministic
-    on miss) — the caller applies the ``better``/bound masking in XLA.
+    one launch shares the ray staging.  Returns (row1, row2): each
+    round's (B, 16) winner row ``[t, sid, p0..p8, btype, pal, pads]``
+    (first-minimum tie-break; garbage-but-deterministic on miss) — the
+    caller applies the ``better``/bound masking in XLA (the kernel is
+    deliberately STATELESS; feedback VMEM inputs cost ~1 ms/iter each,
+    see the module doc).
     """
     B = o.shape[0]
     C = cs.blocks.shape[0]
@@ -834,11 +878,11 @@ def probe_pair_raw(cs, table, o, d, c1, c2):
     cidx = jnp.pad(cidx, ((0, 0), (0, pad))) \
         .reshape(2, -1, LANE_GROUP).transpose(1, 0, 2)
     out = _pair_call(table, rays, cidx, cs.families)[:B]
-    return (out[:, 0], out[:, 1].astype(jnp.int32),
-            out[:, 2], out[:, 3].astype(jnp.int32))
+    return out[:, 0:16], out[:, 16:32]
 
 
-def probe_blocks_min(cs, table, o, d, cidx, stream=None):
+def probe_blocks_min(cs, table, o, d, cidx, stream=None,
+                     want_row=False):
     """Probe + in-kernel reduction: the Pallas twin of
     ``jnp.take + _block_test + argmin + sid_grid gather`` in one pass.
 
@@ -848,7 +892,9 @@ def probe_blocks_min(cs, table, o, d, cidx, stream=None):
 
     Returns (t_min (B,) f32, sid (B,) int32) — sid is the shape id at
     the first minimum slot (== the XLA fallback's ``argmin`` pick);
-    garbage-but-deterministic (-1 or 0) when t_min is +inf.
+    garbage-but-deterministic (-1 or 0) when t_min is +inf.  With
+    ``want_row`` the full (B, 16) winner row is returned instead
+    (cols 0/1 are t/sid; see :func:`_reduce_min_row`).
     """
     if stream is None:
         stream = not fits_vmem(cs)
@@ -856,4 +902,6 @@ def probe_blocks_min(cs, table, o, d, cidx, stream=None):
     rays, cidx = _pad_args(cs, o, d, cidx)
     out = _probe_call(table, rays, cidx, cs.families, want_min=True,
                       stream=stream)[:B]
+    if want_row:
+        return out
     return out[:, 0], out[:, 1].astype(jnp.int32)

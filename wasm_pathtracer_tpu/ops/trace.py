@@ -357,6 +357,64 @@ def hit_info(scene: SceneData, o, d, t, sid, packed=None):
         prow = jnp.stack([c[sid] for c in packed], axis=1)
     else:
         prow = packed[sid]                         # (R, 24) — ONE gather
+    return hit_info_from_row(scene, o, d, t, prow)
+
+
+def hit_info_from_cols(scene: SceneData, o, d, t, cols):
+    """:func:`hit_info` on ALREADY-RESOLVED hit-row COLUMNS — the
+    gather-free shade entry for the flat wavefront, whose probe kernels
+    emit the winner's row directly (``probe_pallas._reduce_min_row``).
+
+    ``cols`` is a sequence of 24 (R,) arrays in :func:`pack_hit_rows`
+    column order.  Column form is load-bearing, not cosmetic: inside
+    the flat loop's kernel-bearing while body, a (B, 16) lane-major
+    winner-row CARRY measured ~+1.0 ms/iter (the minor dim pads 16 ->
+    128 lanes and XLA triples the body's async carry copies), while
+    (B,) scalar carries — the ``t_best`` pattern — are free
+    (PROFILE_r05.md).  No texture support here (the flat gather-free
+    path gates on texture-free scenes).
+    """
+    r3 = lambda a, b, c: jnp.stack([cols[a], cols[b], cols[c]], axis=1)
+
+    n_pl, e_pl = isx.plane_normal(d, r3(3, 4, 5))
+    n_sp, e_sp = isx.sphere_normal(o, d, t, r3(0, 1, 2), cols[3])
+    n_tr, e_tr = isx.triangle_normal(d, r3(0, 1, 2), r3(3, 4, 5),
+                                     r3(6, 7, 8))
+    n_to, e_to = isx.torus_normal(o, d, t, r3(0, 1, 2), cols[3], cols[4])
+    n_aa, e_aa = isx.aarect_normal(o, d, t, r3(0, 1, 2), r3(3, 4, 5))
+    n_sq, e_sq = isx.square_normal(d)
+    pt = cols[20].astype(jnp.int32)
+
+    def sel3(vals):
+        out = vals[0]
+        for k, v in enumerate(vals[1:], start=1):
+            out = jnp.where((pt == k)[..., None], v, out)
+        return out
+
+    n = sel3([n_pl, n_sp, n_tr, n_to, n_aa, n_sq])
+    ent = jnp.select(
+        [pt == int(k) for k in (PrimType.PLANE, PrimType.SPHERE,
+                                PrimType.TRIANGLE, PrimType.TORUS,
+                                PrimType.AARECT, PrimType.SQUARE)],
+        [e_pl, e_sp, e_tr, e_to, e_aa, e_sq], default=True)
+
+    return dict(
+        n=n,
+        is_entering=ent,
+        kind=cols[21].astype(jnp.int32),
+        albedo=r3(9, 10, 11),
+        emission=r3(12, 13, 14),
+        extra=jnp.stack([cols[15], cols[16], cols[17], cols[18],
+                         cols[19]], axis=1),
+    )
+
+
+def hit_info_from_row(scene: SceneData, o, d, t, prow):
+    """:func:`hit_info` on an ALREADY-RESOLVED (R, 24) hit row in
+    :func:`pack_hit_rows` layout — the gather-free shade entry for the
+    flat wavefront, whose probe kernels emit the winner's row directly
+    (``probe_pallas._reduce_min_row``; a per-sid row gather inside its
+    kernel-bearing loop body costs ~+1.5 ms/iter, PROFILE_r05.md)."""
     rows = prow[:, 0:9]
     pt = prow[:, 20].astype(jnp.int32)             # (R,)
 

@@ -133,6 +133,10 @@ GEN_CONTIG = True
 # The two fusions toggle independently for in-loop attribution.
 FUSED_SELECT = True
 FUSED_PAIR = True
+# Gather-free shading from kernel-emitted winner rows (False = the
+# per-sid packed-row gather form, kept for A/B; see the r05b section
+# of PROFILE_r05.md for the measured cliff taxonomy behind this).
+ROW_FUSED = True
 
 
 def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
@@ -164,17 +168,14 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     if settings.max_bounces == 0:
         return _early(jnp.zeros((HW,), jnp.int32).at[pix_queue].add(1))
 
-    # The LIGHT table rides in column form: a 2-D row gather inside
-    # this kernel-bearing while body is a measured scheduling cliff
-    # (r05, B=16k: one trivially-consumed row gather +1.5 ms/iter; the
-    # real shade's light-row gather as 16 per-column 1-D gathers is
-    # slightly FASTER than the row form, 2.26 vs 2.30 ms/iter).  The
-    # HIT table stays in row form: the same column split there measured
-    # 4.29 ms/iter against 2.30 — with the real hit_info consumers XLA
-    # splinters the 24 gather+compute chains into a far worse schedule.
-    # (Both forms are bit-identical in values; see PROFILE_r05.md.)
-    light_tab = itg._light_table_cols(scene)
-    packed_rows = tr.pack_hit_rows(scene)    # loop-invariant, built once
+    # Light table in ROW form.  The r05 cliff study tried the column
+    # split here (16 per-column 1-D gathers): on mesh70k it was a
+    # small in-loop win (2.26 vs 2.30 ms/iter) but on cloud100k it
+    # LOSES 21% end-to-end (1.05M vs 1.34M paths/s) — these scheduling
+    # cliffs are body-shape-dependent, and rows are the form that is
+    # never catastrophic.  (Both forms are bit-identical in values;
+    # see the r05b section of PROFILE_r05.md.)
+    light_tab = itg._light_table(scene)
     # SCAN kernel choice: with the big families clustered away, the
     # dense remainder is usually a handful of shapes (plane + light),
     # and the fused Pallas megakernel's fixed per-dispatch cost
@@ -209,9 +210,33 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     vmem_ok = use_pp and pp.fits_vmem(cs) and not prep.has_bvh
     sel_fused = FUSED_SELECT and vmem_ok and pp.dense_scan_ok(prep)
     pair_fused = FUSED_PAIR and vmem_ok
+    # gather-free shading: both kernels emit the WINNER'S table row
+    # (params + ptype + material-palette entry), the loop carries the
+    # merged row, and shade reconstructs the (B, 24) hit row from it
+    # plus a where-chain over the tiny material palette — no per-sid
+    # row gather, which inside this loop body is a measured ~+1.5
+    # ms/iter scheduling cliff (PROFILE_r05.md).  Requires the palette
+    # (ClusterSet built by bvh.attach_clusters) and a palette small
+    # enough for the static select chain.
+    row_fused = (ROW_FUSED and sel_fused and pair_fused
+                 and cs.pal_idx is not None
+                 and 0 < len(cs.pal_rep) <= 32
+                 and scene.textures.shape[0] == 0)
     if sel_fused:
-        dense_fams, dense_tabs = pp.pack_dense_tables(prep, scene)
+        dense_fams, dense_tabs = pp.pack_dense_tables(
+            prep, scene, cs.pal_idx if row_fused else None)
         n_dense_cost = sum(n for _, n in dense_fams)
+    if row_fused:
+        # palette VALUES, re-gathered live per dispatch (M static rows;
+        # the entry STRUCTURE bakes at attach time like the geometry)
+        f32 = jnp.float32
+        pal_rows = [jnp.concatenate([
+            scene.albedo[r], scene.emission[r], scene.mat_extra[r],
+            scene.mat_kind[r][None].astype(f32),
+            scene.tex_id[r][None].astype(f32)]) for r in cs.pal_rep]
+        packed_rows = None               # shade is gather-free
+    else:
+        packed_rows = tr.pack_hit_rows(scene)   # loop-invariant
 
     # ring capacity: ceil(S/B) guarantees no stranded queue slot (all
     # lanes capped => B*K >= S paths recorded); slack covers imbalance
@@ -273,6 +298,13 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         skip_e=jnp.full((B,), -jnp.inf, jnp.float32),
         skip_c=jnp.full((B,), -1, jnp.int32),
         need_scan=sidx0 < S,
+        # merged winner row as 13 SEPARATE (B,) columns (p0..p8,
+        # ptype, pal — probe_pallas._reduce_min_row cols 2:13); the
+        # t_best scalar-carry pattern.  A single (B, 16) lane-major
+        # carry was measured ~+1.0 ms/iter (minor-dim lane padding +
+        # tripled async carry copies); columns are free.  Garbage
+        # until the lane's first scan, masked like sid_best.
+        win=tuple(jnp.zeros((B,), jnp.float32) for _ in range(11)),
         # --- pending NEE query (set at shade, used at resolve) --------
         pend_contrib=f3(),
         pend_dist=jnp.zeros((B,), jnp.float32),
@@ -301,7 +333,8 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         skip_e = jnp.where(scan, -jnp.inf, st["skip_e"])
         skip_c = jnp.where(scan, -1, st["skip_c"])
         if sel_fused:
-            e_cur, c_cur, e_b, c_b, e_aft, t_d, sid_d = pp.select_scan(
+            (e_cur, c_cur, e_b, c_b, e_aft, t_d, sid_d,
+             _row_d) = pp.select_scan(
                 cs, aabbs, dense_fams, dense_tabs, tr_o, tr_d,
                 skip_e, skip_c, C)
             c_d = jnp.int32(n_dense_cost)
@@ -310,6 +343,24 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
                                                 tr_d)
         t_best = jnp.where(scan, t_d, st["t_best"])
         sid_best = jnp.where(scan, sid_d, st["sid_best"])
+        win = st["win"]
+        if row_fused:
+            # DENSE winner columns via a static where-chain over the
+            # tiny dense remainder (n <= 64 by dense_scan_ok) — NOT
+            # the kernel's lane-oriented dense row, whose per-iteration
+            # transpose is another relayout cliff.  Chain entries
+            # compare sid_d against each dense table row's sid column;
+            # padding rows are excluded by the static family counts.
+            col_d = [jnp.zeros((B,), jnp.float32) for _ in range(11)]
+            for (fam, n), tab in zip(dense_fams, dense_tabs):
+                for k in range(n):
+                    m = sid_d == tab[k, 9].astype(jnp.int32)
+                    vals = ([tab[k, j] for j in range(9)]
+                            + [jnp.float32(fam), tab[k, 10]])
+                    col_d = [jnp.where(m, v, c)
+                             for v, c in zip(vals, col_d)]
+            win = tuple(jnp.where(scan, v, c)
+                        for v, c in zip(col_d, win))
         cost = st["cost"] + jnp.where(scan, c_d, 0)
 
         # ---- PROBE x2: the two lex-min unvisited clusters per lane -----
@@ -378,11 +429,16 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             # masking/bound logic stays in XLA exactly as the two-call
             # form, so the kernel has NO feedback inputs (see
             # probe_pair_raw's docstring for why that matters)
-            tl1, sv1, tl2, sv2 = pp.probe_pair_raw(
+            row1, row2 = pp.probe_pair_raw(
                 cs, table, tr_o, tr_d, c_cur, c_b)
+            tl1, sv1 = row1[:, 0], row1[:, 1].astype(jnp.int32)
+            tl2, sv2 = row2[:, 0], row2[:, 1].astype(jnp.int32)
             better = probing & (tl1 < t_best)
             t_best = jnp.where(better, tl1, t_best)
             sid_best = jnp.where(better, sv1, sid_best)
+            if row_fused:
+                win = tuple(jnp.where(better, row1[:, 2 + j], c)
+                            for j, c in enumerate(win))
             cost = cost + jnp.where(probing, G, 0)
             bound = jnp.where(shadow,
                               jnp.minimum(t_best, st["pend_dist"]),
@@ -393,6 +449,9 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             better2 = probing2 & (tl2 < t_best)
             t_best = jnp.where(better2, tl2, t_best)
             sid_best = jnp.where(better2, sv2, sid_best)
+            if row_fused:
+                win = tuple(jnp.where(better2, row2[:, 2 + j], c)
+                            for j, c in enumerate(win))
             cost = cost + jnp.where(probing2, G, 0)
         else:
             t_best, sid_best, cost = _probe(c_cur, probing, t_best,
@@ -450,12 +509,31 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         # ---- SHADE: finished primary traces ----------------------------
         shade = done & ~shadow
         slot0 = st["bounce"] * itg._SLOTS_PER_BOUNCE
+        if row_fused:
+            # hit-row COLUMNS rebuilt from the kernel-emitted winner
+            # columns + a static where-chain over the material palette
+            # — bit-identical values to packed_rows[sid_best] (same
+            # source arrays; palette entries group byte-identical
+            # rows), but with zero gathers and only (B,) carries
+            pal_i = win[10].astype(jnp.int32)
+            mat = [jnp.broadcast_to(pal_rows[0][j], (B,))
+                   for j in range(13)]
+            for k in range(1, len(pal_rows)):
+                mk = pal_i == k
+                mat = [jnp.where(mk, pal_rows[k][j], mj)
+                       for j, mj in enumerate(mat)]
+            # pack_hit_rows column order: params 0:9, albedo 9:12,
+            # emission 12:15, extra 15:20, ptype 20, kind 21, tex 22
+            hit_row = (list(win[0:9]) + mat[0:11] + [win[9]]
+                       + mat[11:13] + [jnp.zeros((B,), jnp.float32)])
+        else:
+            hit_row = None
         (o_n, d_n, tp_n, col_n, alive_n, hdb_n, absorb_n), req = \
             itg._shade_core(prep, scene, settings, light_tab, photon_grid,
                             tr_o, tr_d, st["tp"], col, shade, st["hdb"],
                             st["absorb"], slot0, st["rid"], seed,
                             t_best, sid_best, jnp.isfinite(t_best),
-                            packed_rows=packed_rows)
+                            packed_rows=packed_rows, hit_row=hit_row)
         # adopt estimator updates ONLY on shade lanes: _shade_core's
         # carry passes (tr_o, tr_d) — the ray currently being traced —
         # through unchanged on non-scatter lanes, so adopting o_n/d_n
@@ -540,7 +618,7 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             live=(live & ~end) | can,
             tr_o=tr_o2, tr_d=tr_d2,
             shadow=jnp.where(start, pend, shadow),
-            t_best=t_best, sid_best=sid_best,
+            t_best=t_best, sid_best=sid_best, win=win,
             skip_e=skip_e, skip_c=skip_c,
             need_scan=jnp.where(start, True, jnp.zeros((B,), bool)),
             pend_contrib=pend_contrib,
