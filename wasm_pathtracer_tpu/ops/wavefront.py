@@ -90,8 +90,19 @@ and both probe rounds run as ONE stateless kernel
 masked in XLA — stateless because a kernel VMEM input that depends on
 the same kernel's previous output through the loop carry costs
 ~1 ms/iter of staging (measured r05; see PROFILE_r05.md).  The
-HBM-streamed and XLA regimes keep the three-step form.  Radiance is
-bit-identical across all regimes (MOSAIC_PARITY_r05.json).
+HBM-streamed and XLA regimes keep the three-step form.
+
+r05b: shading is GATHER-FREE on the VMEM-kernel path.  The probe
+kernels reduce the winning slot's full table row in-kernel (params,
+ptype, material-palette id — ``probe_pallas._reduce_min_row``), the
+loop carries it as 11 scalar (B,) columns, and shade reconstructs its
+inputs via a static where-chain over the material palette
+(``ClusterSet.pal_idx``/``pal_rep``).  The form is dictated by a
+measured cliff taxonomy of this loop body (PROFILE_r05.md r05b): a
+per-sid row gather costs ~+1.5 ms/iter, a (B, 16) lane-major carry
+~+1.0, while (B,) carries and where-chains are free.  Radiance is
+bit-identical across all regimes (MOSAIC_PARITY_r05.json,
+``flat_wavefront_end_to_end`` max_rad_err 0.0 on chip).
 """
 
 from __future__ import annotations
