@@ -350,3 +350,25 @@ def test_winner_row_emission_matches_gather():
                                   ptype[sid])
     np.testing.assert_array_equal(row_d[fin, 12].astype(np.int32),
                                   pal[sid])
+
+
+def test_probe_min_want_row_matches_pair_row():
+    """probe_blocks_min(want_row=True) returns the same winner row as
+    probe_pair_raw's per-round rows (both VMEM and streamed bodies)."""
+    scene = _mixed_scene()
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=8)
+    cs = prep.cluster
+    C = cs.blocks.shape[0]
+    n = 96
+    o, d = _rays(n, 17)
+    c1 = (jnp.arange(n, dtype=jnp.int32) * 5) % C
+    with pltpu.force_tpu_interpret_mode():
+        table = pp.pack_table(cs)
+        pr1, _ = pp.probe_pair_raw(cs, table, o, d, c1, c1)
+        row_v = pp.probe_blocks_min(cs, table, o, d, c1, stream=False,
+                                    want_row=True)
+        row_s = pp.probe_blocks_min(cs, table, o, d, c1, stream=True,
+                                    want_row=True)
+    np.testing.assert_array_equal(np.asarray(pr1), np.asarray(row_v))
+    np.testing.assert_array_equal(np.asarray(row_v), np.asarray(row_s))
