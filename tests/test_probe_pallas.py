@@ -372,3 +372,34 @@ def test_probe_min_want_row_matches_pair_row():
                                     want_row=True)
     np.testing.assert_array_equal(np.asarray(pr1), np.asarray(row_v))
     np.testing.assert_array_equal(np.asarray(row_v), np.asarray(row_s))
+
+
+def test_flat_wavefront_streamed_rows_end_to_end():
+    """The gather-free STREAMED regime (3-kernel form with
+    probe_blocks_min(want_row) + XLA dense where-chain) must match the
+    XLA-path flat wavefront exactly in counts and tightly in radiance."""
+    import dataclasses
+    scene = _mixed_scene(n_tri=150, n_sphere=0, n_torus=0, n_aarect=0,
+                         n_square=0)
+    prep = bvh.attach_clusters(trace.prepare(scene), scene,
+                               group=128, min_count=32)
+    settings = RenderSettings(render_type=RenderType.NORMAL_NEE,
+                              max_bounces=2)
+    camera = Camera.create((0.0, 0.5, -2.0), 0.15, 0.0)
+    W = H = 8
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    a0, c0, _ = wavefront.render_queue_flat(
+        prep, scene, settings, camera, pix, W, H, jnp.uint32(4), 64)
+    prep_f = dataclasses.replace(prep, use_fused=True)
+    old_sel, old_pair = wavefront.FUSED_SELECT, wavefront.FUSED_PAIR
+    wavefront.FUSED_SELECT = wavefront.FUSED_PAIR = False
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            a1, c1, _ = wavefront.render_queue_flat(
+                prep_f, scene, settings, camera, pix, W, H,
+                jnp.uint32(4), 64)
+    finally:
+        wavefront.FUSED_SELECT, wavefront.FUSED_PAIR = old_sel, old_pair
+    assert (np.asarray(c0) == np.asarray(c1)).all()
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                               rtol=1e-4, atol=1e-4)

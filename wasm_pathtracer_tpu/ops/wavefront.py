@@ -229,15 +229,22 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
     # ms/iter scheduling cliff (PROFILE_r05.md).  Requires the palette
     # (ClusterSet built by bvh.attach_clusters) and a palette small
     # enough for the static select chain.
-    row_fused = (ROW_FUSED and sel_fused and pair_fused
-                 and cs.pal_idx is not None
-                 and 0 < len(cs.pal_rep) <= 32
-                 and scene.textures.shape[0] == 0)
-    if sel_fused:
+    row_ok = (ROW_FUSED and use_pp and cs.pal_idx is not None
+              and 0 < len(cs.pal_rep) <= 32
+              and scene.textures.shape[0] == 0
+              and pp.dense_scan_ok(prep))
+    row_fused = row_ok and sel_fused and pair_fused
+    # streamed twin: beyond the VMEM table budget the 3-kernel form
+    # stays, but probe_blocks_min(want_row=True) emits the winner row
+    # from the DMA'd tile and the dense winner comes from an XLA
+    # where-chain over the (tiny) dense tables — same gather-free
+    # shade as row_fused
+    row_streamed = row_ok and not (sel_fused and pair_fused)
+    if sel_fused or row_streamed:
         dense_fams, dense_tabs = pp.pack_dense_tables(
-            prep, scene, cs.pal_idx if row_fused else None)
+            prep, scene, cs.pal_idx if row_ok else None)
         n_dense_cost = sum(n for _, n in dense_fams)
-    if row_fused:
+    if row_fused or row_streamed:
         # palette VALUES, re-gathered live per dispatch (M static rows;
         # the entry STRUCTURE bakes at attach time like the geometry)
         f32 = jnp.float32
@@ -355,7 +362,7 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         t_best = jnp.where(scan, t_d, st["t_best"])
         sid_best = jnp.where(scan, sid_d, st["sid_best"])
         win = st["win"]
-        if row_fused:
+        if row_fused or row_streamed:
             # DENSE winner columns via a static where-chain over the
             # tiny dense remainder (n <= 64 by dense_scan_ok) — NOT
             # the kernel's lane-oriented dense row, whose per-iteration
@@ -408,8 +415,16 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             e_b, c_b, ent2 = _lexmin(ent1)
             e_aft = jnp.min(ent2, axis=1)
 
-        def _probe(c_sel, probing, t_best, sid_best, cost):
-            if use_pp:
+        def _probe(c_sel, probing, t_best, sid_best, win, cost):
+            out_row = None
+            if use_pp and row_streamed:
+                # streamed gather-free form: the kernel emits the full
+                # winner row from the DMA'd tile
+                out_row = pp.probe_blocks_min(cs, table, tr_o, tr_d,
+                                              c_sel, want_row=True)
+                tloc = out_row[:, 0]
+                sid_loc = out_row[:, 1].astype(jnp.int32)
+            elif use_pp:
                 # min + argmin-sid happen inside the kernel — no (B, G)
                 # HBM roundtrip, no XLA post-reduction
                 tloc, sid_loc = pp.probe_blocks_min(cs, table, tr_o,
@@ -426,8 +441,11 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
             better = probing & (tloc < t_best)
             t_best = jnp.where(better, tloc, t_best)
             sid_best = jnp.where(better, sid_loc, sid_best)
+            if out_row is not None:
+                win = tuple(jnp.where(better, out_row[:, 2 + j], c)
+                            for j, c in enumerate(win))
             cost = cost + jnp.where(probing, G, 0)
-            return t_best, sid_best, cost
+            return t_best, sid_best, win, cost
 
         bound = jnp.where(shadow, jnp.minimum(t_best, st["pend_dist"]),
                           t_best)
@@ -465,8 +483,8 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
                             for j, c in enumerate(win))
             cost = cost + jnp.where(probing2, G, 0)
         else:
-            t_best, sid_best, cost = _probe(c_cur, probing, t_best,
-                                            sid_best, cost)
+            t_best, sid_best, win, cost = _probe(
+                c_cur, probing, t_best, sid_best, win, cost)
 
             # second round against the bound tightened by the first —
             # exactly the lockstep retire loop's pruning sequence.
@@ -482,16 +500,16 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
                 probing2 = probing2 & run2
                 skip_e = jnp.where(probing2, e_b, skip_e)
                 skip_c = jnp.where(probing2, c_b, skip_c)
-                t_best, sid_best, cost = jax.lax.cond(
+                t_best, sid_best, win, cost = jax.lax.cond(
                     run2,
                     lambda a: _probe(*a),
-                    lambda a: (a[2], a[3], a[4]),
-                    (c_b, probing2, t_best, sid_best, cost))
+                    lambda a: (a[2], a[3], a[4], a[5]),
+                    (c_b, probing2, t_best, sid_best, win, cost))
             else:
                 skip_e = jnp.where(probing2, e_b, skip_e)
                 skip_c = jnp.where(probing2, c_b, skip_c)
-                t_best, sid_best, cost = _probe(c_b, probing2, t_best,
-                                                sid_best, cost)
+                t_best, sid_best, win, cost = _probe(
+                    c_b, probing2, t_best, sid_best, win, cost)
 
         # ---- completion ------------------------------------------------
         # next candidate strictly after the (possibly advanced) cursor
@@ -520,7 +538,7 @@ def render_queue_flat(prep: tr.ScenePrep, scene, settings: RenderSettings,
         # ---- SHADE: finished primary traces ----------------------------
         shade = done & ~shadow
         slot0 = st["bounce"] * itg._SLOTS_PER_BOUNCE
-        if row_fused:
+        if row_fused or row_streamed:
             # hit-row COLUMNS rebuilt from the kernel-emitted winner
             # columns + a static where-chain over the material palette
             # — bit-identical values to packed_rows[sid_best] (same
