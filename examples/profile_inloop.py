@@ -18,6 +18,13 @@ and that is the point.
 
 Usage: python examples/profile_inloop.py [--which museum|flat|both]
 Prints one JSON line per loop; paste into PROFILE_r05.md.
+
+NOTE (r05b): the production flat loop now shades GATHER-FREE from
+kernel-emitted winner rows (wavefront.ROW_FUSED; PROFILE_r05.md r05b).
+The flat_strip below keeps the r04-form body (per-sid gather shade) so
+its strip variants stay comparable with the r04/r05 numbers on record;
+for end-to-end timings of the production regime use
+ops.wavefront.render_queue_flat directly (bench.py mesh70k stage).
 """
 import argparse
 import dataclasses
